@@ -1,0 +1,285 @@
+"""Host-side data pipelines feeding device-resident preprocessing.
+
+TPU-native replacement for the reference tf.data layer
+(transfer_em/datasets/datasets.py):
+
+* ``create_dataset_from_tensors``  (datasets.py:14-67): in-memory path —
+  reflect pad -> scale -> custom map -> population standardize -> cache ->
+  shuffle -> augment -> batch(drop_remainder) -> prefetch.
+* ``create_dataset_from_generator`` (datasets.py:69-119): streaming path —
+  same minus cache/shuffle, bounded by ``epoch_size``.
+
+Design: the host moves only uint8 bytes; scaling/standardization/augmentation
+run on device as one fused jitted map per batch (1 byte/voxel H2D instead of
+4).  A background thread keeps ``prefetch`` batches in flight
+(double-buffered ``jax.device_put``), hiding host fetch latency behind the
+train step — the TPU equivalent of tf.data's AUTOTUNE prefetch.
+
+Parity notes: element order, drop_remainder semantics, and meanstd
+computation (mean-of-means / mean-of-variances, datasets.py:173-190) match
+the reference; RNG differs by construction (explicit JAX keys, reproducible).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.augment import batch_augment
+from ..ops.normalize import get_meanstd, preprocess_u8, scale_tensor, standardize_population
+
+BATCH_SIZE = 64     # reference datasets.py:10
+EPOCH_SIZE = 4096   # reference datasets.py:11
+BUFFER_SIZE = 4096  # reference datasets.py:12
+
+
+def _reflect_pad_np(x: np.ndarray, padding) -> np.ndarray:
+    """Host-side REFLECT pad (reference datasets.py:41-43 tf.pad REFLECT)."""
+    return np.pad(x, padding, mode="reflect")
+
+
+class _DevicePrefetcher:
+    """Iterate host batches, keeping up to ``depth`` transfers in flight."""
+
+    def __init__(self, it: Iterator[np.ndarray], depth: int = 2):
+        self._it = it
+        self._depth = depth
+
+    def __iter__(self):
+        buf: List = []
+        try:
+            for _ in range(self._depth):
+                buf.append(jax.device_put(next(self._it)))
+        except StopIteration:
+            pass
+        while buf:
+            nxt = buf.pop(0)
+            try:
+                buf.append(jax.device_put(next(self._it)))
+            except StopIteration:
+                pass
+            yield nxt
+
+
+class Dataset:
+    """Re-iterable batched dataset; each ``iter()`` is one epoch.
+
+    Yields device arrays of shape (B, *spatial, 1), float32, scaled /
+    standardized / augmented, drop_remainder semantics.
+    """
+
+    def __init__(self, epoch_fn: Callable[[], Iterator[jax.Array]]):
+        self._epoch_fn = epoch_fn
+
+    def __iter__(self):
+        return iter(self._epoch_fn())
+
+    def take_batches(self, n: int) -> List[jax.Array]:
+        out = []
+        for i, b in enumerate(self):
+            if i >= n:
+                break
+            out.append(b)
+        return out
+
+
+def _device_transform(custom_map, global_adjust, meanstd, enable_augmentation):
+    """Build the fused jitted device map: uint8 batch -> float batch."""
+
+    @jax.jit
+    def _tx(batch_u8: jax.Array, key: jax.Array) -> jax.Array:
+        x = scale_tensor(batch_u8)  # (B, *sp, 1) in [-1, 1]
+        if custom_map is not None:
+            keys = jax.random.split(jax.random.fold_in(key, 1), x.shape[0])
+            x = jax.vmap(custom_map)(x, keys)
+        if global_adjust:
+            x = standardize_population(x, meanstd)
+        if enable_augmentation:
+            x = batch_augment(x, jax.random.fold_in(key, 2))
+        return x
+
+    return _tx
+
+
+def _scaled_stream_for_stats(tensors_u8, custom_map, key):
+    """Host stream of scaled (+custom-mapped) elements for meanstd (eager
+    pass, mirroring reference datasets.py:54-56)."""
+    for i, t in enumerate(tensors_u8):
+        x = scale_tensor(jnp.asarray(t))
+        if custom_map is not None:
+            x = custom_map(x, jax.random.fold_in(key, i))
+        yield x
+
+
+def create_dataset_from_tensors(
+        tensors: Sequence[np.ndarray],
+        custom_map: Optional[Callable] = None,
+        batch_size: int = BATCH_SIZE,
+        enable_augmentation: bool = True,
+        global_adjust: bool = True,
+        meanstd: Optional[Tuple[float, float]] = None,
+        randomize: bool = False,
+        padding=None,
+        seed: int = 0,
+) -> Tuple[Dataset, Tuple[float, float]]:
+    """In-memory dataset (reference ``create_dataset_from_tensors``,
+    datasets.py:14-67).
+
+    Args:
+      tensors: list of 2D/3D uint8 arrays.
+      custom_map: per-element map f(scaled_element, key) -> element, applied
+        after scaling (e.g. ``transfer_em_tpu.ops.warp.warp``).
+      randomize: shuffle element order each epoch.
+      padding: np.pad-style reflect padding config.
+    Returns:
+      (Dataset, meanstd)
+    """
+    base_key = jax.random.PRNGKey(seed)
+    tensors = [np.asarray(t, np.uint8) for t in tensors]
+    if padding is not None:
+        tensors = [_reflect_pad_np(t, padding) for t in tensors]
+    stacked = np.stack(tensors)  # cache: all in host memory
+
+    if global_adjust and meanstd is None:
+        meanstd = get_meanstd(
+            _scaled_stream_for_stats(tensors, custom_map,
+                                     jax.random.fold_in(base_key, 777)))
+
+    tx = _device_transform(custom_map, global_adjust, meanstd,
+                           enable_augmentation)
+    n = len(tensors)
+    epoch_counter = [0]
+
+    def epoch() -> Iterator[jax.Array]:
+        e = epoch_counter[0]
+        epoch_counter[0] += 1
+        ekey = jax.random.fold_in(base_key, e)
+        order = np.arange(n)
+        if randomize:
+            order = np.asarray(
+                jax.random.permutation(jax.random.fold_in(ekey, 0), n))
+
+        def host_batches():
+            for s in range(0, n - batch_size + 1, batch_size):  # drop remainder
+                yield stacked[order[s:s + batch_size]]
+
+        def device_batches():
+            for bi, hb in enumerate(_DevicePrefetcher(host_batches())):
+                yield tx(hb, jax.random.fold_in(ekey, 1000 + bi))
+
+        return device_batches()
+
+    return Dataset(epoch), meanstd
+
+
+def create_dataset_from_generator(
+        sample_iter_fn: Callable[[], Iterator[np.ndarray]],
+        shape=None,
+        custom_map: Optional[Callable] = None,
+        batch_size: int = BATCH_SIZE,
+        epoch_size: int = EPOCH_SIZE,
+        global_adjust: bool = True,
+        meanstd: Optional[Tuple[float, float]] = None,
+        padding=None,
+        enable_augmentation: bool = False,
+        seed: int = 0,
+        fetch_threads: int = 8,
+) -> Tuple[Dataset, Tuple[float, float]]:
+    """Streaming dataset (reference ``create_dataset_from_generator``,
+    datasets.py:69-119).
+
+    Args:
+      sample_iter_fn: zero-arg callable returning a (possibly infinite)
+        iterator of uint8 arrays — e.g. the volume sources in
+        transfer_em_tpu.data.sources.  Called once per epoch.
+      shape: deprecated and ignored (parity with reference).
+      epoch_size: elements per epoch (bounds the infinite stream).
+      fetch_threads: host threads pulling from the source concurrently
+        (replaces tf.data num_parallel_calls=AUTOTUNE).
+    Returns:
+      (Dataset, meanstd)
+    """
+    del shape
+    base_key = jax.random.PRNGKey(seed)
+
+    def bounded_elements() -> Iterator[np.ndarray]:
+        it = sample_iter_fn()
+        for i, el in enumerate(it):
+            if i >= epoch_size:
+                break
+            el = np.asarray(el, np.uint8)
+            if padding is not None:
+                el = _reflect_pad_np(el, padding)
+            yield el
+
+    if global_adjust and meanstd is None:
+        # Eager full pass, like the reference (datasets.py:105-113) — real
+        # cost for streaming sources; pass meanstd explicitly to avoid it.
+        meanstd = get_meanstd(
+            _scaled_stream_for_stats(bounded_elements(), custom_map,
+                                     jax.random.fold_in(base_key, 777)))
+
+    tx = _device_transform(custom_map, global_adjust, meanstd,
+                           enable_augmentation)
+    epoch_counter = [0]
+
+    def epoch() -> Iterator[jax.Array]:
+        e = epoch_counter[0]
+        epoch_counter[0] += 1
+        ekey = jax.random.fold_in(base_key, e)
+
+        def host_batches():
+            batch = []
+            for el in _threaded(bounded_elements, fetch_threads):
+                batch.append(el)
+                if len(batch) == batch_size:
+                    yield np.stack(batch)
+                    batch = []
+            # drop remainder
+
+        def device_batches():
+            for bi, hb in enumerate(_DevicePrefetcher(host_batches())):
+                yield tx(hb, jax.random.fold_in(ekey, 1000 + bi))
+
+        return device_batches()
+
+    return Dataset(epoch), meanstd
+
+
+def _threaded(elements_fn: Callable[[], Iterator[np.ndarray]],
+              num_threads: int) -> Iterator[np.ndarray]:
+    """Run the element iterator on a background thread with a bounded queue.
+
+    The source iterators already parallelize their remote fetches internally
+    (see sources.py); this just decouples fetch latency from the train loop.
+    """
+    if num_threads <= 0:
+        yield from elements_fn()
+        return
+    q: "queue.Queue" = queue.Queue(maxsize=max(2 * num_threads, 8))
+    _SENTINEL = object()
+
+    def worker():
+        try:
+            for el in elements_fn():
+                q.put(el)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        el = q.get()
+        if el is _SENTINEL:
+            break
+        yield el
+
+
+def zip_datasets(a: Iterable, b: Iterable) -> Iterator:
+    """tf.data.Dataset.zip equivalent (reference cgan.py:260)."""
+    return zip(a, b)

@@ -1,0 +1,251 @@
+"""Remote-volume sources: DVID, neuroglancer-precomputed, Cloud-Run HTTP.
+
+TPU-native replacement for reference transfer_em/datasets/generators.py:
+
+* ``volume3d_dvid``  (generators.py:12-56): random corners in a bbox (or an
+  explicit ROI list) fetched from DVID's raw uint8 HTTP API.
+* ``volume3d_ng``    (generators.py:59-165): same over neuroglancer
+  precomputed, via local tensorstore or a Cloud Run ``/volume`` proxy with
+  gcloud identity-token auth + one retry on stale token.
+* ``fetch_raw_dvid`` (generators.py:170-223): raw GET with response-length
+  validation.
+
+Instead of tf.py_function graph escapes, sources are plain callables
+returning iterators of uint8 numpy cubes; a thread pool overlaps many HTTP /
+tensorstore reads (the reference relied on tf.data AUTOTUNE for this).
+Sampling is seeded and reproducible per SURVEY.md §4 determinism notes;
+``sample_array``/``sample_class`` stratified ROI sampling is preserved.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import json
+import subprocess
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+BBox = Tuple[Tuple[int, int, int], Tuple[int, int, int]]
+
+
+# --------------------------------------------------------------------- DVID
+
+def fetch_raw_dvid(server: str, uuid: str, instance: str, box_zyx,
+                   session=None) -> np.ndarray:
+    """Fetch a raw uint8 subvolume from DVID (reference generators.py:170-223).
+
+    box_zyx: ((z0,y0,x0), (z1,y1,x1)); returns a C-order zyx array.
+    """
+    import requests
+    if session is None:
+        session = requests.Session()
+    box_zyx = np.asarray(box_zyx)
+    assert np.issubdtype(box_zyx.dtype, np.integer), "box must be integer"
+    assert box_zyx.shape == (2, 3)
+    shape_zyx = box_zyx[1] - box_zyx[0]
+    shape_str = "_".join(map(str, shape_zyx[::-1]))
+    offset_str = "_".join(map(str, box_zyx[0, ::-1]))
+    r = session.get(
+        f"{server}/api/node/{uuid}/{instance}/raw/0_1_2/{shape_str}/{offset_str}")
+    r.raise_for_status()
+    expected = int(np.prod(shape_zyx))
+    if len(r.content) != expected:
+        raise RuntimeError(
+            f"Buffer from DVID has wrong length {len(r.content)} != {expected} "
+            f"for instance '{instance}' (wrong dtype?)")
+    return np.frombuffer(r.content, dtype=np.uint8).reshape(shape_zyx)
+
+
+# ------------------------------------------------------------- corner sampling
+
+def corner_stream(bbox: Optional[BBox], size: int, seed: Optional[int],
+                  array: Optional[Sequence] = None,
+                  sample_array: bool = False,
+                  sample_class: bool = False) -> Iterator[Tuple[int, int, int]]:
+    """Yield (x, y, z) corners — explicit ROI list or random-in-bbox.
+
+    Mirrors reference generators.py:84-108: with ``array`` and not
+    ``sample_array``, iterate the list once; otherwise sample forever.
+    ``sample_class``: array is a list of lists of bboxes; pick class uniformly
+    then bbox uniformly (stratified sampling, generators.py:95-101).
+    """
+    if array is not None and not sample_array:
+        yield from (tuple(c) for c in array)
+        return
+    rng = np.random.default_rng(seed)
+    while True:
+        curr = bbox
+        if array is not None:
+            tarr = array
+            if sample_class:
+                tarr = array[rng.integers(0, len(array))]
+            curr = tarr[rng.integers(0, len(tarr))]
+        x = rng.integers(curr[0][0], curr[1][0])
+        y = rng.integers(curr[0][1], curr[1][1])
+        z = rng.integers(curr[0][2], curr[1][2])
+        yield (int(x), int(y), int(z))
+
+
+def _parallel_fetch(corners: Iterator[Tuple[int, int, int]],
+                    fetch: Callable[[Tuple[int, int, int]], np.ndarray],
+                    num_threads: int) -> Iterator[np.ndarray]:
+    """Map fetch over corners with a sliding window of in-flight requests,
+    preserving order (the TPU-host analogue of tf.data AUTOTUNE map)."""
+    if num_threads <= 1:
+        for c in corners:
+            yield fetch(c)
+        return
+    with cf.ThreadPoolExecutor(max_workers=num_threads) as ex:
+        pending: List[cf.Future] = []
+        try:
+            for _ in range(num_threads * 2):
+                pending.append(ex.submit(fetch, next(corners)))
+        except StopIteration:
+            pass
+        while pending:
+            fut = pending.pop(0)
+            try:
+                pending.append(ex.submit(fetch, next(corners)))
+            except StopIteration:
+                pass
+            yield fut.result()
+
+
+def volume3d_dvid(dvid_server: str, uuid: str, instance: str,
+                  bbox: Optional[BBox] = None, size: int = 132,
+                  seed: Optional[int] = None, array=None,
+                  num_threads: int = 8) -> Callable[[], Iterator[np.ndarray]]:
+    """Iterator factory over uint8 ``size``^3 cubes from DVID
+    (reference generators.py:12-56).  Pass to
+    ``create_dataset_from_generator``.
+    """
+    import requests
+
+    def make_iter() -> Iterator[np.ndarray]:
+        session_local = threading_local_sessions(requests)
+
+        def fetch(corner):
+            x, y, z = corner
+            return fetch_raw_dvid(
+                dvid_server, uuid, instance,
+                [[z, y, x], [z + size, y + size, x + size]],
+                session_local())
+
+        corners = corner_stream(bbox, size, seed, array)
+        return _parallel_fetch(corners, fetch, num_threads)
+
+    return make_iter
+
+
+def threading_local_sessions(requests_mod):
+    """One requests.Session per thread (sessions are not thread-safe)."""
+    import threading
+    local = threading.local()
+
+    def get():
+        if not hasattr(local, "s"):
+            local.s = requests_mod.Session()
+        return local.s
+
+    return get
+
+
+# ---------------------------------------------------- neuroglancer precomputed
+
+def open_tensorstore(location: str, scale_index: int = 0):
+    """Open a neuroglancer-precomputed volume with tensorstore
+    (reference generators.py:114-126).  ``location`` = 'bucket/path...'
+    or 'file://...' for local test volumes.
+    """
+    import tensorstore as ts
+    if location.startswith("file://"):
+        spec = {
+            "driver": "neuroglancer_precomputed",
+            "kvstore": {"driver": "file", "path": location[len("file://"):]},
+            "recheck_cached_data": "open",
+            "scale_index": scale_index,
+        }
+    else:
+        parts = location.split("/")
+        spec = {
+            "driver": "neuroglancer_precomputed",
+            "kvstore": {"driver": "gcs", "bucket": parts[0]},
+            "path": "/".join(parts[1:]),
+            "recheck_cached_data": "open",
+            "scale_index": scale_index,
+        }
+    ds = ts.open(spec).result()
+    import tensorstore as ts2
+    return ds[ts2.d["channel"][0]]
+
+
+class CloudRunFetcher:
+    """POST /volume client with identity-token auth + stale-token retry
+    (reference generators.py:127-157)."""
+
+    def __init__(self, cloudrun: str, location: str):
+        import requests
+        self._requests = requests
+        self.cloudrun = cloudrun
+        self.location = location
+        self._headers = {"Content-type": "application/json"}
+        self._refresh_token()
+
+    def _refresh_token(self):
+        try:
+            token = subprocess.check_output(
+                ["gcloud auth print-identity-token"], shell=True).decode()
+            self._headers["Authorization"] = f"Bearer {token[:-1]}"
+        except Exception:
+            pass  # unauthenticated local service
+
+    def fetch(self, corner, size: int) -> np.ndarray:
+        x, y, z = corner
+        config = {"location": self.location,
+                  "size": [int(size)] * 3,
+                  "start": [int(x), int(y), int(z)]}
+        res = self._requests.post(self.cloudrun + "/volume",
+                                  data=json.dumps(config),
+                                  headers=self._headers)
+        if res.status_code != 200:
+            self._refresh_token()
+            res = self._requests.post(self.cloudrun + "/volume",
+                                      data=json.dumps(config),
+                                      headers=self._headers)
+        if res.status_code != 200:
+            raise RuntimeError("cloud run failed")
+        data = np.frombuffer(res.content, dtype=np.uint8)
+        # service returns F-order xyz == C-order zyx (see serve/data_service)
+        return data.reshape((size, size, size))
+
+
+def volume3d_ng(location: str, bbox: Optional[BBox] = None, size: int = 132,
+                seed: Optional[int] = None, array=None,
+                cloudrun: Optional[str] = None,
+                sample_array: bool = False, sample_class: bool = False,
+                num_threads: int = 8) -> Callable[[], Iterator[np.ndarray]]:
+    """Iterator factory over uint8 cubes from ng-precomputed
+    (reference generators.py:59-165).
+
+    Transports: local tensorstore (cloudrun=None) or Cloud Run HTTP proxy.
+    """
+    if cloudrun is None:
+        ds = open_tensorstore(location)
+
+        def fetch(corner):
+            x, y, z = corner
+            data = ds[x:x + size, y:y + size, z:z + size].read().result()
+            return np.asarray(data, np.uint8)
+    else:
+        fetcher = CloudRunFetcher(cloudrun, location)
+
+        def fetch(corner):
+            return fetcher.fetch(corner, size)
+
+    def make_iter() -> Iterator[np.ndarray]:
+        corners = corner_stream(bbox, size, seed, array, sample_array,
+                                sample_class)
+        return _parallel_fetch(corners, fetch, num_threads)
+
+    return make_iter

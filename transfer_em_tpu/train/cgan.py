@@ -1,0 +1,336 @@
+"""CycleGAN orchestrator — the TPU-native EM2EM.
+
+Reproduces reference transfer_em/cgan.py:32-293 with a TPU-first training
+step:
+
+* The reference runs 10 model forwards under one persistent GradientTape and
+  then FOUR separate backward passes (cgan.py:144-228).  Here the four losses
+  are combined into ONE scalar with ``stop_gradient`` routing exactly
+  reproducing the reference's per-loss gradient targets, so a single
+  ``jax.grad`` over (gg, gf, dx, dy) does one fused backward pass — XLA CSEs
+  the shared forwards.  Per-loss gradient equivalence is proven in
+  tests/test_train.py against finite differences and the 4-tape formulation.
+
+* Data parallelism is first-class (the reference left MirroredStrategy as a
+  TODO, cgan.py:8-11): the step is a pure function — jit it with a
+  batch-sharded mesh (transfer_em_tpu.parallel.dp) and every loss mean
+  becomes a global-batch mean, which is exactly the "loss normalization"
+  change the reference README flags (README.md:93-94).
+
+* Checkpointing via orbax (max 50, auto-restore latest) mirroring
+  tf.train.CheckpointManager behavior (cgan.py:84-103).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CycleGANConfig
+from ..models.discriminator import Discriminator
+from ..models.generator import UNetGenerator
+from ..ops import losses as L
+from ..ops.convs import center_crop, zero_pad
+from ..shapes import generator_shapes, is_valid_dimsize
+from .state import CycleGANState, make_optimizer
+
+LossVector = jax.Array  # (7,) [g_gen_total, f_gen_total, disc_y, disc_x,
+#                              g_gen_only, f_gen_only, cycle]
+
+
+def _dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+def build_models(config: CycleGANConfig,
+                 disc_prior: Optional[Callable] = None):
+    """Generator + two discriminators (disc_y optionally with a prior,
+    reference cgan.py:58-62)."""
+    cd = _dtype(config.compute_dtype)
+    if cd == jnp.float32:
+        cd = None
+    gen = UNetGenerator(wf=config.wf, use_norm=config.use_norm, compute_dtype=cd)
+    disc_x = Discriminator(is3d=config.is3d, wf=config.wf,
+                           use_norm=config.use_norm, compute_dtype=cd)
+    disc_y = Discriminator(is3d=config.is3d, wf=config.wf,
+                           use_norm=config.use_norm, compute_dtype=cd,
+                           disc_prior=disc_prior)
+    return gen, disc_x, disc_y
+
+
+def create_state(config: CycleGANConfig, rng: jax.Array,
+                 disc_prior: Optional[Callable] = None) -> CycleGANState:
+    """Initialize all parameters and optimizer states."""
+    if config.dimsize < 74:
+        raise ValueError("minimum dimension allowed is 74")  # cgan.py:52
+    if not is_valid_dimsize(config.dimsize):
+        raise ValueError(f"{config.dimsize} does not allow valid convolutions")
+    gen, disc_x, disc_y = build_models(config, disc_prior)
+    shapes = generator_shapes(config.dimsize)
+    sp = (config.dimsize,) * (3 if config.is3d else 2)
+    sp_out = (shapes.out,) * (3 if config.is3d else 2)
+    x = jnp.zeros((1,) + sp + (1,), jnp.float32)
+    y = jnp.zeros((1,) + sp_out + (1,), jnp.float32)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    gg = gen.init(k1, x)
+    gf = gen.init(k2, x)
+    dx = disc_x.init(k3, y)
+    dy = disc_y.init(k4, y)
+    opt = make_optimizer(config.learning_rate, config.adam_beta1)
+    return CycleGANState(
+        step=jnp.zeros((), jnp.int32),
+        gg=gg, gf=gf, dx=dx, dy=dy,
+        opt_gg=opt.init(gg), opt_gf=opt.init(gf),
+        opt_dx=opt.init(dx), opt_dy=opt.init(dy),
+    )
+
+
+def cyclegan_losses(gen: UNetGenerator, disc_x: Discriminator,
+                    disc_y: Discriminator, buffer: int, gamma: float,
+                    gg, gf, dx, dy,
+                    real_x: jax.Array, real_y: jax.Array,
+                    rng: jax.Array) -> Tuple[jax.Array, LossVector]:
+    """One combined scalar whose per-subtree gradients equal the reference's
+    four ``tape.gradient`` calls (cgan.py:144-215).  See module docstring.
+
+    Returns (combined_scalar, loss_vector_7).
+    """
+    sg = jax.lax.stop_gradient
+    dx_f = jax.tree.map(sg, dx)  # frozen discs for adversarial gen terms
+    dy_f = jax.tree.map(sg, dy)
+    ks = jax.random.split(rng, 6)
+
+    def g(params, x, k):
+        return gen.apply(params, x, deterministic=False, rngs={"dropout": k})
+
+    # --- forwards (reference cgan.py:152-189; 6 gen + 4 disc applications) ---
+    fake_y = g(gg, real_x, ks[0])
+    fake_y_pad = zero_pad(fake_y, buffer)
+    cycled_x = g(gf, fake_y_pad, ks[1])
+    cycled_x_c = center_crop(cycled_x, buffer)
+    real_x_c2 = center_crop(real_x, buffer * 2)
+
+    fake_x = g(gf, real_y, ks[2])
+    fake_x_pad = zero_pad(fake_x, buffer)
+    cycled_y = g(gg, fake_x_pad, ks[3])
+    cycled_y_c = center_crop(cycled_y, buffer)
+    real_y_c2 = center_crop(real_y, buffer * 2)
+
+    same_x = g(gf, real_x, ks[4])
+    real_x_c = center_crop(real_x, buffer)
+    same_y = g(gg, real_y, ks[5])
+    real_y_c = center_crop(real_y, buffer)
+
+    disc_real_x = disc_x.apply(dx, real_x_c)
+    disc_real_y = disc_y.apply(dy, real_y_c)
+    # Fakes enter the disc twice semantically: once for the generators'
+    # adversarial losses (grad -> generator, disc frozen), once for the
+    # discriminator losses (grad -> disc, fake detached).  Forward values are
+    # identical; XLA CSEs the duplicate computation.
+    disc_fake_x_gen = disc_x.apply(dx_f, fake_x)
+    disc_fake_y_gen = disc_y.apply(dy_f, fake_y)
+    disc_fake_x_d = disc_x.apply(dx, sg(fake_x))
+    disc_fake_y_d = disc_y.apply(dy, sg(fake_y))
+
+    # --- losses (reference cgan.py:192-203) ---
+    gen_g_loss = L.generator_adv_loss(disc_fake_y_gen, gamma=gamma)
+    gen_f_loss = L.generator_adv_loss(disc_fake_x_gen, gamma=gamma)
+    total_cycle = (L.cycle_loss(real_x_c2, cycled_x_c, gamma=gamma)
+                   + L.cycle_loss(real_y_c2, cycled_y_c, gamma=gamma))
+    id_y = L.identity_loss(real_y_c, same_y, gamma=gamma)
+    id_x = L.identity_loss(real_x_c, same_x, gamma=gamma)
+    total_gen_g = gen_g_loss + total_cycle + id_y
+    total_gen_f = gen_f_loss + total_cycle + id_x
+    disc_x_loss = L.discriminator_loss(disc_real_x, disc_fake_x_d, gamma=gamma)
+    disc_y_loss = L.discriminator_loss(disc_real_y, disc_fake_y_d, gamma=gamma)
+
+    # Combined scalar: cycle appears ONCE (its gradient flows into both
+    # generators, exactly as it appears in both total_gen losses upstream).
+    combined = (gen_g_loss + gen_f_loss + total_cycle + id_y + id_x
+                + disc_x_loss + disc_y_loss)
+    loss_vec = jnp.stack([total_gen_g, total_gen_f, disc_y_loss, disc_x_loss,
+                          gen_g_loss, gen_f_loss, total_cycle])
+    return combined, loss_vec
+
+
+def make_train_step(config: CycleGANConfig,
+                    disc_prior: Optional[Callable] = None,
+                    donate: bool = True):
+    """Build the jitted train step: (state, real_x, real_y, rng) -> (state, loss7).
+
+    real_x / real_y: scaled+standardized float batches, shape
+    (B, *spatial(dimsize), 1), like reference train_step (cgan.py:144).
+    """
+    gen, disc_x, disc_y = build_models(config, disc_prior)
+    buffer = generator_shapes(config.dimsize).buffer
+    gamma = config.focal_gamma
+    opt = make_optimizer(config.learning_rate, config.adam_beta1)
+
+    loss_fn = functools.partial(cyclegan_losses, gen, disc_x, disc_y,
+                                buffer, gamma)
+
+    def step(state: CycleGANState, real_x, real_y, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grads, loss_vec = jax.grad(
+            lambda gg, gf, dx, dy: loss_fn(gg, gf, dx, dy, real_x, real_y, rng),
+            argnums=(0, 1, 2, 3), has_aux=True,
+        )(state.gg, state.gf, state.dx, state.dy)
+        g_gg, g_gf, g_dx, g_dy = grads
+
+        up, o_gg = opt.update(g_gg, state.opt_gg, state.gg)
+        gg = jax.tree.map(lambda p, u: p + u, state.gg, up)
+        up, o_gf = opt.update(g_gf, state.opt_gf, state.gf)
+        gf = jax.tree.map(lambda p, u: p + u, state.gf, up)
+        up, o_dx = opt.update(g_dx, state.opt_dx, state.dx)
+        dx = jax.tree.map(lambda p, u: p + u, state.dx, up)
+        up, o_dy = opt.update(g_dy, state.opt_dy, state.dy)
+        dy = jax.tree.map(lambda p, u: p + u, state.dy, up)
+
+        new_state = CycleGANState(
+            step=state.step + 1, gg=gg, gf=gf, dx=dx, dy=dy,
+            opt_gg=o_gg, opt_gf=o_gf, opt_dx=o_dx, opt_dy=o_dy)
+        return new_state, loss_vec
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+class EM2EM:
+    """CycleGAN model for 1-channel 2D/3D data: train and predict.
+
+    API parity with reference EM2EM (cgan.py:32-293); constructor args keep
+    the reference names.
+    """
+
+    def __init__(self, dimsize: int, exp_name: str, is3d: bool = True,
+                 norm_type: str = "instancenorm", ckpt_restore: Optional[str] = None,
+                 wf: int = 8, focal_gamma: float = 2.0,
+                 disc_prior: Optional[Callable] = None,
+                 compute_dtype: str = "float32",
+                 checkpoint_root: str = "./checkpoints",
+                 seed: int = 0):
+        del norm_type  # DEPRECATED upstream (cgan.py:47); norms stay disabled
+        self.config = CycleGANConfig(
+            dimsize=dimsize, is3d=is3d, wf=wf, focal_gamma=focal_gamma,
+            compute_dtype=compute_dtype)
+        self.exp_name = exp_name
+        shapes = generator_shapes(dimsize)
+        assert shapes.out % 2 == 0  # cgan.py:64
+        self.buffer = shapes.buffer
+        self.outdimsize = shapes.out
+        self.is3d = is3d
+        self.disc_prior = disc_prior
+
+        self.gen, self.disc_x_model, self.disc_y_model = build_models(
+            self.config, disc_prior)
+        self._rng = jax.random.PRNGKey(seed)
+        self.state = create_state(self.config, self._rng, disc_prior)
+        self._train_step = make_train_step(self.config, disc_prior)
+        self._predict = jax.jit(lambda params, x: self.gen.apply(params, x))
+
+        # ---- checkpoints (reference cgan.py:84-103) ----
+        self.checkpoint_path = os.path.abspath(
+            os.path.join(checkpoint_root, f"train_{exp_name}"))
+        self._ckpt_mgr = None
+        self._init_checkpoints(ckpt_restore)
+
+    # ------------------------------------------------------------------ ckpt
+    def _init_checkpoints(self, ckpt_restore: Optional[str]):
+        import orbax.checkpoint as ocp
+        os.makedirs(self.checkpoint_path, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(max_to_keep=50)
+        self._ckpt_mgr = ocp.CheckpointManager(self.checkpoint_path,
+                                               options=options)
+        if ckpt_restore is not None:
+            self.restore(ckpt_restore)
+        elif self._ckpt_mgr.latest_step() is not None:
+            self._restore_step(self._ckpt_mgr.latest_step())
+            print("Latest checkpoint restored!!")
+
+    def make_checkpoint(self, epoch_num: int):
+        """Save a checkpoint (reference cgan.py:105-108)."""
+        self._ckpt_mgr.save(epoch_num, args=self._save_args())
+        self._ckpt_mgr.wait_until_finished()
+        print(f"Saving checkpoint for epoch {epoch_num} at "
+              f"{self.checkpoint_path}/{epoch_num}")
+
+    def _save_args(self):
+        import orbax.checkpoint as ocp
+        return ocp.args.StandardSave(jax.tree.map(np.asarray, self.state))
+
+    def _restore_step(self, step: int):
+        import orbax.checkpoint as ocp
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, self.state)
+        self.state = self._ckpt_mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract))
+
+    def restore(self, ckpt_restore: str | int):
+        """Restore from an explicit checkpoint (step number or path)."""
+        step = int(os.path.basename(str(ckpt_restore))
+                   if not isinstance(ckpt_restore, int) else ckpt_restore)
+        self._restore_step(step)
+        print(f"checkpoint {ckpt_restore} restored")
+
+    # ----------------------------------------------------------------- train
+    def train_step(self, real_x, real_y) -> np.ndarray:
+        """One optimization step; returns the 7-loss vector (cgan.py:144)."""
+        self.state, loss = self._train_step(
+            self.state, jnp.asarray(real_x), jnp.asarray(real_y), self._rng)
+        return loss
+
+    def train(self, train_input: Iterable, train_target: Iterable,
+              epochs: int = 3000, start: int = 0, debug: bool = False,
+              sample=None, sample_gt=None, enable_eager: bool = False,
+              num_samples: int = 4096, check_freq: int = 1):
+        """Main training loop (reference cgan.py:242-287).
+
+        train_input / train_target: iterables of batches re-iterable per epoch
+        (our data pipelines, or any pair of iterables of float batches).
+        ``enable_eager`` maps to jax.disable_jit for debugging.
+        """
+        maybe_eager = jax.disable_jit if enable_eager else _nullcontext
+        with maybe_eager():
+            for epoch in range(start, start + epochs):
+                t0 = time.time()
+                loss = np.zeros((7,), np.float32)
+                count = 0
+                for data_f, data_g in zip(train_input, train_target):
+                    loss = loss + np.asarray(self.train_step(data_f, data_g))
+                    count += 1
+                if count:
+                    loss = loss / count
+                print(f"Epoch {epoch+1} loss [g_gen_total, f_gen_total, "
+                      f"disc_y, disc_x, g_gen_only, f_gen_only, cycle]: {loss}")
+
+                if (epoch + 1) % check_freq == 0:
+                    self.make_checkpoint(epoch + 1)
+                    if sample is not None:
+                        sample_pred = self.predict(sample)
+                        if sample_gt is not None:
+                            gt_c = center_crop(jnp.asarray(sample_gt), self.buffer)
+                            acc = float(L.rmse(gt_c[0], sample_pred[0]))
+                            print(f"Accuracy on sample: {acc}")
+                print(f"Time taken for epoch {epoch+1} is {time.time()-t0}")
+
+    # --------------------------------------------------------------- predict
+    def predict(self, data) -> jax.Array:
+        """Generator G forward (reference cgan.py:289-293)."""
+        return self._predict(self.state.gg, jnp.asarray(data))
+
+    def predict_f(self, data) -> jax.Array:
+        """Generator F forward (Y -> X)."""
+        return self._predict(self.state.gf, jnp.asarray(data))
+
+
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
