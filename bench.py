@@ -1,0 +1,165 @@
+"""Benchmark: 3D CycleGAN train-step throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tiles/s", "vs_baseline": N}
+
+Metric: full CycleGAN training steps on 74^3 uint8-sourced EM tiles
+(the reference's atomic unit of work: 6 generator + 4 discriminator forwards,
+4 backward passes, 4 Adam updates per tile batch — reference cgan.py:144-228),
+reported as tiles/sec/chip.
+
+vs_baseline: ratio against the TF2 reference implementation's train_step
+measured on this host's CPU (the only hardware the reference can run on
+here; it published no numbers of its own — BASELINE.md).  The TF measurement
+is cached in BENCH_BASELINE_TF.json after the first run.
+
+Run: python bench.py            (real TPU chip via default platform)
+     JAX_PLATFORMS=cpu python bench.py   (debug)
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_BASELINE_TF.json")
+# Fallback if TF can't run here: reference TF2 CycleGAN train_step at 74^3,
+# batch 1, measured on this image's CPU (see BENCH_BASELINE_TF.json history).
+FALLBACK_TF_TILES_PER_SEC = 0.5
+
+DIMSIZE = 74
+STEPS = 20
+WARMUP = 3
+
+
+def measure_jax(batch: int) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from transfer_em_tpu.config import CycleGANConfig
+    from transfer_em_tpu.train import create_state, make_train_step
+
+    cfg = CycleGANConfig(dimsize=DIMSIZE, is3d=True, wf=8,
+                         compute_dtype="bfloat16")
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, donate=True)
+    rng = np.random.default_rng(0)
+    shape = (batch, DIMSIZE, DIMSIZE, DIMSIZE, 1)
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+
+    for _ in range(WARMUP):
+        state, loss = step(state, x, y, key)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, loss = step(state, x, y, key)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return batch * STEPS / dt
+
+
+def measure_tf_reference() -> float:
+    """Reference TF2 train_step on host CPU (tfa focal loss stubbed with the
+    identical formula since tensorflow_addons is not installed)."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["tf_tiles_per_sec"]
+    try:
+        value = _measure_tf_reference_uncached()
+    except Exception as e:
+        print(f"# TF baseline unavailable ({type(e).__name__}: {e}); "
+              f"using fallback {FALLBACK_TF_TILES_PER_SEC}", file=sys.stderr)
+        return FALLBACK_TF_TILES_PER_SEC
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"tf_tiles_per_sec": value,
+                   "note": "reference TF2 train_step, 74^3 batch1, host CPU"},
+                  f)
+    return value
+
+
+def _measure_tf_reference_uncached() -> float:
+    import types
+
+    import numpy as np
+    os.environ["CUDA_VISIBLE_DEVICES"] = "-1"
+    import tensorflow as tf
+
+    # Stub tensorflow_addons.losses.SigmoidFocalCrossEntropy with the same
+    # formula (tfa is absent in this image).
+    tfa = types.ModuleType("tensorflow_addons")
+    tfa_losses = types.ModuleType("tensorflow_addons.losses")
+
+    class SigmoidFocalCrossEntropy(tf.keras.losses.Loss):
+        def __init__(self, from_logits=False, alpha=0.25, gamma=2.0,
+                     reduction=tf.keras.losses.Reduction.AUTO, **kw):
+            super().__init__(reduction=reduction)
+            self.from_logits = from_logits
+            self.alpha = alpha
+            self.gamma = gamma
+
+        def call(self, y_true, y_pred):
+            y_true = tf.cast(y_true, tf.float32)
+            ce = tf.keras.backend.binary_crossentropy(
+                y_true, y_pred, from_logits=self.from_logits)
+            p = tf.sigmoid(y_pred) if self.from_logits else y_pred
+            p_t = y_true * p + (1 - y_true) * (1 - p)
+            alpha_t = y_true * self.alpha + (1 - y_true) * (1 - self.alpha)
+            return tf.reduce_sum(
+                alpha_t * tf.pow(1 - p_t, self.gamma) * ce, axis=-1)
+
+    tfa_losses.SigmoidFocalCrossEntropy = SigmoidFocalCrossEntropy
+    tfa.losses = tfa_losses
+    sys.modules["tensorflow_addons"] = tfa
+    sys.modules["tensorflow_addons.losses"] = tfa_losses
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from transfer_em.cgan import EM2EM
+        model = EM2EM(DIMSIZE, "bench_tf_baseline", is3d=True, wf=8)
+        rng = np.random.default_rng(0)
+        shape = (1, DIMSIZE, DIMSIZE, DIMSIZE, 1)
+        x = tf.convert_to_tensor(rng.normal(size=shape).astype(np.float32))
+        y = tf.convert_to_tensor(rng.normal(size=shape).astype(np.float32))
+        model.train_step(x, y)  # trace + compile
+        steps = 3
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            model.train_step(x, y)
+        dt = time.perf_counter() - t0
+        return steps / dt
+    finally:
+        sys.path.remove("/root/reference")
+        import shutil
+        shutil.rmtree("./checkpoints/train_bench_tf_baseline",
+                      ignore_errors=True)
+
+
+def main():
+    for batch in (16, 8, 4, 2, 1):
+        try:
+            tiles_per_sec = measure_jax(batch)
+            break
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+                print(f"# batch {batch} OOM, retrying smaller", file=sys.stderr)
+                continue
+            raise
+    tf_baseline = measure_tf_reference()
+    print(json.dumps({
+        "metric": "cyclegan_train_tiles74_per_sec_per_chip",
+        "value": round(tiles_per_sec, 3),
+        "unit": "tiles/s",
+        "vs_baseline": round(tiles_per_sec / tf_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import numpy as np
 import pytest
 
+# sitecustomize in this image imports jax and forces jax_platforms='axon,cpu'
+# (remote TPU), ignoring the env var — override programmatically before any
+# backend initialization.
+import jax
+
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 @pytest.fixture(scope="session")
 def rng():

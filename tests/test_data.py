@@ -1,0 +1,162 @@
+"""Data pipeline tests: parity semantics of the dataset constructors."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transfer_em_tpu.data import (create_dataset_from_generator,
+                                  create_dataset_from_tensors, corner_stream,
+                                  zip_datasets)
+from transfer_em_tpu.ops.normalize import get_meanstd, scale_tensor
+
+
+def _tensors(rng, n=10, size=32):
+    return [rng.integers(0, 255, size=(size, size), dtype=np.uint8)
+            for _ in range(n)]
+
+
+def test_tensors_dataset_shapes_and_range(rng):
+    ds, meanstd = create_dataset_from_tensors(
+        _tensors(rng), batch_size=4, enable_augmentation=False)
+    batches = list(ds)
+    # 10 elements, batch 4, drop_remainder -> 2 batches (reference
+    # datasets.py:67 batch(drop_remainder=True))
+    assert len(batches) == 2
+    assert batches[0].shape == (4, 32, 32, 1)
+    assert batches[0].dtype == jnp.float32
+
+
+def test_meanstd_computed_and_applied(rng):
+    tensors = _tensors(rng)
+    ds, meanstd = create_dataset_from_tensors(
+        tensors, batch_size=10, enable_augmentation=False)
+    want = get_meanstd([scale_tensor(jnp.asarray(t)) for t in tensors])
+    np.testing.assert_allclose(meanstd, want, rtol=1e-5)
+    batch = next(iter(ds))
+    # standardized data: mean ~0 across the full set
+    assert abs(float(batch.mean())) < 0.2
+
+
+def test_meanstd_passthrough(rng):
+    ds, meanstd = create_dataset_from_tensors(
+        _tensors(rng), batch_size=2, meanstd=(0.25, 2.0),
+        enable_augmentation=False)
+    assert meanstd == (0.25, 2.0)
+
+
+def test_no_global_adjust(rng):
+    tensors = _tensors(rng)
+    ds, meanstd = create_dataset_from_tensors(
+        tensors, batch_size=10, global_adjust=False,
+        enable_augmentation=False)
+    assert meanstd is None
+    batch = np.asarray(next(iter(ds)))
+    want = np.asarray(scale_tensor(jnp.asarray(np.stack(tensors))))
+    np.testing.assert_allclose(batch, want, atol=1e-6)
+
+
+def test_shuffle_reorders_but_preserves_content(rng):
+    tensors = _tensors(rng, n=8)
+    ds, _ = create_dataset_from_tensors(
+        tensors, batch_size=8, randomize=True, global_adjust=False,
+        enable_augmentation=False)
+    e1 = np.asarray(next(iter(ds)))
+    e2 = np.asarray(next(iter(ds)))  # next epoch: different order
+    assert not np.array_equal(e1, e2)
+    np.testing.assert_allclose(np.sort(e1.ravel()), np.sort(e2.ravel()),
+                               atol=1e-6)
+
+
+def test_augmentation_changes_per_epoch(rng):
+    tensors = _tensors(rng, n=4)
+    ds, _ = create_dataset_from_tensors(
+        tensors, batch_size=4, enable_augmentation=True, randomize=False)
+    e1 = np.asarray(next(iter(ds)))
+    e2 = np.asarray(next(iter(ds)))
+    assert not np.array_equal(e1, e2)
+
+
+def test_custom_map_applied(rng):
+    tensors = _tensors(rng, n=4)
+
+    def half(el, key):
+        return el * 0.5
+
+    ds, _ = create_dataset_from_tensors(
+        tensors, batch_size=4, custom_map=half, global_adjust=False,
+        enable_augmentation=False)
+    got = np.asarray(next(iter(ds)))
+    want = np.asarray(scale_tensor(jnp.asarray(np.stack(tensors)))) * 0.5
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_reflect_padding(rng):
+    tensors = _tensors(rng, n=2, size=16)
+    pad = ((4, 4), (4, 4))
+    ds, _ = create_dataset_from_tensors(
+        tensors, batch_size=2, padding=pad, global_adjust=False,
+        enable_augmentation=False)
+    batch = np.asarray(next(iter(ds)))
+    assert batch.shape == (2, 24, 24, 1)
+    want = np.pad(tensors[0], pad, mode="reflect")
+    np.testing.assert_allclose(
+        batch[0, :, :, 0], (want.astype(np.float32) / 127.5) - 1, atol=1e-6)
+
+
+def test_generator_dataset_epoch_bound(rng):
+    calls = [0]
+
+    def source():
+        def it():
+            while True:
+                calls[0] += 1
+                yield rng.integers(0, 255, size=(16, 16), dtype=np.uint8)
+        return it()
+
+    ds, meanstd = create_dataset_from_generator(
+        source, batch_size=4, epoch_size=8, meanstd=(0.0, 1.0),
+        fetch_threads=0)
+    batches = list(ds)
+    assert len(batches) == 2  # 8 elements / batch 4
+    assert batches[0].shape == (4, 16, 16, 1)
+
+
+def test_corner_stream_seeded_reproducible():
+    bbox = ((0, 0, 0), (100, 100, 100))
+    s1 = [next(iter_) for iter_ in [corner_stream(bbox, 10, seed=3)]
+          for _ in range(5)]
+    a = list(zip(*[corner_stream(bbox, 10, seed=3)] * 1))
+    c1 = corner_stream(bbox, 10, seed=3)
+    c2 = corner_stream(bbox, 10, seed=3)
+    got1 = [next(c1) for _ in range(10)]
+    got2 = [next(c2) for _ in range(10)]
+    assert got1 == got2
+    for x, y, z in got1:
+        assert 0 <= x < 100 and 0 <= y < 100 and 0 <= z < 100
+
+
+def test_corner_stream_explicit_array():
+    rois = [(1, 2, 3), (4, 5, 6)]
+    assert list(corner_stream(None, 10, None, array=rois)) == rois
+
+
+def test_corner_stream_stratified():
+    classes = [[((0, 0, 0), (10, 10, 10))], [((100, 100, 100), (110, 110, 110))]]
+    cs = corner_stream(None, 5, seed=0, array=classes, sample_array=True,
+                       sample_class=True)
+    pts = [next(cs) for _ in range(40)]
+    lo = sum(1 for p in pts if p[0] < 50)
+    hi = len(pts) - lo
+    assert lo > 0 and hi > 0  # both strata sampled
+
+
+def test_zip_datasets(rng):
+    a, _ = create_dataset_from_tensors(_tensors(rng, 4), batch_size=2,
+                                       enable_augmentation=False)
+    b, _ = create_dataset_from_tensors(_tensors(rng, 4), batch_size=2,
+                                       enable_augmentation=False)
+    pairs = list(zip_datasets(a, b))
+    assert len(pairs) == 2
+    assert pairs[0][0].shape == pairs[0][1].shape

@@ -1,0 +1,148 @@
+"""Export round-trip + HTTP serving tests (local services, NumpyVolume)."""
+
+import base64
+import gzip
+import json
+import os
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transfer_em_tpu.config import ExportMeta
+from transfer_em_tpu.infer.export import export_generator, load_generator
+from transfer_em_tpu.models import UNetGenerator
+from transfer_em_tpu.serve import (DataService, ModelService, NumpyVolume,
+                                   TransferEMPredictor, fetch_subvolume,
+                                   predict_chunk, register_volume)
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    d = tmp_path_factory.mktemp("export") / "model"
+    gen = UNetGenerator(wf=32)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 74, 74, 74, 1)))
+    meta = ExportMeta(buffer=17, outdimsize=40, meanstd_x=(0.1, 0.9),
+                      meanstd_y=(0.2, 1.1), dimsize=74, is3d=True, wf=32)
+    export_generator(params, meta, str(d))
+    return str(d), gen, params, meta
+
+
+def test_export_roundtrip(exported):
+    d, gen, params, meta = exported
+    assert os.path.exists(os.path.join(d, "meta.json"))
+    gen2, params2, meta2 = load_generator(d)
+    assert meta2.buffer == 17 and meta2.outdimsize == 40
+    assert meta2.meanstd_x == (0.1, 0.9)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    x = jnp.zeros((1, 74, 74, 74, 1))
+    np.testing.assert_array_equal(np.asarray(gen.apply(params, x)),
+                                  np.asarray(gen2.apply(params2, x)))
+
+
+@pytest.fixture(scope="module")
+def volume():
+    rng = np.random.default_rng(0)
+    vol = rng.integers(0, 255, size=(160, 160, 160), dtype=np.uint8)
+    register_volume("testbucket/vol", NumpyVolume(vol))
+    return vol
+
+
+@pytest.fixture(scope="module")
+def data_service(volume):
+    svc = DataService()
+    svc.start()
+    yield svc
+    svc.stop()
+
+
+def test_data_service_volume(volume, data_service):
+    got = fetch_subvolume(data_service.url, "testbucket/vol",
+                          [(10, 20, 30), (26, 52, 62)])  # zyx box
+    want = volume[10:26, 20:52, 30:62]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_data_service_volume_raw_bytes_contract(volume, data_service):
+    """POST /volume returns C-order zyx bytes (== F-order xyz), like the
+    reference service (cloudrun_functions/transferem.py:146-180)."""
+    config = {"location": "gs://testbucket/vol", "start": [0, 0, 0],
+              "size": [8, 4, 2]}  # xyz
+    req = urllib.request.Request(data_service.url + "/volume",
+                                 data=json.dumps(config).encode(),
+                                 headers={"Content-type": "application/json"})
+    body = urllib.request.urlopen(req).read()
+    arr = np.frombuffer(body, np.uint8).reshape(2, 4, 8)  # zyx
+    np.testing.assert_array_equal(arr, volume[:2, :4, :8])
+
+
+def test_data_service_slice_png(volume, data_service):
+    from PIL import Image
+    import io
+    url = (f"{data_service.url}/slice/5_10_20/16_16_1/png"
+           f"?location=testbucket/vol")
+    body = urllib.request.urlopen(url).read()
+    img = np.asarray(Image.open(io.BytesIO(body)))
+    want = np.squeeze(volume[20:21, 10:26, 5:21])  # zyx slice -> (y, x)
+    np.testing.assert_array_equal(img, want)
+    # cached second hit
+    body2 = urllib.request.urlopen(url).read()
+    assert body2 == body
+
+
+def test_data_service_bad_request(data_service):
+    url = f"{data_service.url}/slice/0_0_0/16_16_16/png?location=testbucket/vol"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(url)
+    assert e.value.code == 400
+
+
+def test_predictor_base64(exported, volume, data_service):
+    d, gen, params, meta = exported
+    pred = TransferEMPredictor.from_path(d)
+    # use in-memory tile fetch through the registered location via cloudrun=
+    # None is tensorstore; route through the data service instead:
+    out = pred.predict([{
+        "location": "testbucket/vol", "cloudrun": data_service.url,
+        "start": (40, 40, 40), "size": (36, 36, 36)}])
+    arr = np.frombuffer(base64.b64decode(out[0]), np.uint8)
+    assert arr.size == 36 ** 3
+
+
+def test_model_service_chunk(exported, volume, data_service, tmp_path):
+    d, gen, params, meta = exported
+    # model root layout: <root>/<name>/<version>/
+    root = tmp_path / "models"
+    os.makedirs(root / "m1", exist_ok=True)
+    os.symlink(d, root / "m1" / "v1")
+    svc = ModelService(model_root=str(root))
+    svc.start()
+    try:
+        dest = tmp_path / "out"
+        predict_chunk(svc.url, "testbucket/vol", start=(64, 64, 64),
+                      size=(64, 64, 64), model_name="m1:v1", dest=str(dest))
+        files = os.listdir(dest)
+        assert len(files) == 1  # one 64^3 block
+        raw = gzip.decompress(open(dest / files[0], "rb").read())
+        block = np.frombuffer(raw, np.uint8).reshape(64, 64, 64)
+        assert block.std() > 0  # real prediction content
+    finally:
+        svc.stop()
+
+
+def test_model_service_rejects_unaligned(exported, tmp_path, volume):
+    root = tmp_path / "models"
+    os.makedirs(root / "m1", exist_ok=True)
+    os.symlink(exported[0], root / "m1" / "v1")
+    svc = ModelService(model_root=str(root))
+    svc.start()
+    try:
+        with pytest.raises(RuntimeError, match="64 block aligned"):
+            predict_chunk(svc.url, "testbucket/vol", start=(1, 0, 0),
+                          size=(64, 64, 64), model_name="m1:v1",
+                          dest=str(tmp_path / "o"))
+    finally:
+        svc.stop()

@@ -1,0 +1,84 @@
+"""Multi-device tests on the simulated 8-device CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transfer_em_tpu.config import CycleGANConfig
+from transfer_em_tpu.models import UNetGenerator
+from transfer_em_tpu.ops.convs import zero_pad
+from transfer_em_tpu.parallel import (halo_predict, make_dp_train_step,
+                                      make_mesh, shard_batch, shard_state)
+from transfer_em_tpu.shapes import generator_shapes
+from transfer_em_tpu.train import create_state, make_train_step
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def tiny_config():
+    return CycleGANConfig(dimsize=74, is3d=False, wf=32)
+
+
+def test_dp_step_matches_single_device():
+    """Sharded-batch DP step must produce the same params/losses as the
+    unsharded step (global-batch loss normalization, the fix for the
+    reference's MirroredStrategy blocker cgan.py:8-11)."""
+    cfg = tiny_config()
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 74, 74, 1)).astype(np.float32)
+    y = rng.normal(size=(8, 74, 74, 1)).astype(np.float32)
+    key = jax.random.PRNGKey(1)
+
+    single = make_train_step(cfg, donate=False)
+    s1, l1 = single(state, jnp.asarray(x), jnp.asarray(y), key)
+
+    mesh = make_mesh(8)
+    dp = make_dp_train_step(cfg, mesh, donate=False)
+    sharded_state = shard_state(state, mesh)
+    s2, l2 = dp(sharded_state, shard_batch(jnp.asarray(x), mesh),
+                shard_batch(jnp.asarray(y), mesh), key)
+
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.gg), jax.tree.leaves(s2.gg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
+
+
+def test_dp_step_runs_on_mesh_2x4():
+    cfg = tiny_config()
+    mesh = make_mesh(8, data=4, space=2)
+    state = shard_state(create_state(cfg, jax.random.PRNGKey(0)), mesh)
+    x = jnp.zeros((8, 74, 74, 1))
+    dp = make_dp_train_step(cfg, mesh, donate=False)
+    s, loss = dp(state, shard_batch(x, mesh), shard_batch(x, mesh),
+                 jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(np.asarray(loss)))
+
+
+def test_halo_predict_matches_unsharded():
+    """Sharded halo-exchange inference == unsharded generator on the
+    z-padded volume, bit-exact phase alignment (parallel/halo.py)."""
+    gen = UNetGenerator(wf=32)
+    buffer = generator_shapes(74).buffer  # 17
+    n_space = 4
+    slab = 40  # slab % 4 == 0; slab + 34 = 74 valid
+    Z = n_space * slab  # 160
+    rng = np.random.default_rng(3)
+    vol = jnp.asarray(rng.normal(size=(Z, 74, 74, 1)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), vol[None, :74])
+
+    mesh = make_mesh(8, data=2, space=4)
+    apply_fn = lambda p, b: gen.apply(p, b)
+    got = halo_predict(apply_fn, params, vol, mesh, buffer)
+
+    padded = zero_pad(vol[None], buffer)[:, :, buffer:-buffer, buffer:-buffer]
+    # zero_pad pads all spatial axes; undo y/x so only z is padded
+    want = gen.apply(params, padded)[0]
+    assert got.shape == want.shape == (Z, 40, 40, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

@@ -1,0 +1,133 @@
+"""Tiled-inference tests: plan arithmetic and seam-free stitching.
+
+The stitching invariant (SURVEY.md §4): predicting a large block via
+overlapping tiles must equal predicting the whole block in one shot on the
+interior — VALID convs guarantee it mathematically; these tests check the
+bookkeeping.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transfer_em_tpu.infer.tiling import (make_tile_step, plan_tiles,
+                                          predict_tiled)
+from transfer_em_tpu.models import UNetGenerator
+from transfer_em_tpu.native import gather_blocks
+from transfer_em_tpu.shapes import generator_shapes
+
+
+def test_plan_tiles_reference_arithmetic():
+    # outdimsize 40 -> 36, buffer 17 -> 19, tpad 2 (reference utils.py:70-75)
+    plan = plan_tiles((0, 0, 0), (72, 72, 72), 40, 17)
+    assert plan.outdimsize == 36 and plan.buffer == 19 and plan.tpad == 2
+    assert plan.insize == 36 + 38 == 74
+    assert plan.num_tiles == 8  # 72/36 = 2 per axis
+    assert plan.corners[0] == (-19, -19, -19)
+    assert plan.indices[0] == (0, 0, 0)
+    assert plan.padded_size == (72, 72, 72)
+
+
+def test_plan_tiles_non_multiple_size():
+    plan = plan_tiles((10, 20, 30), (50, 40, 30), 40, 17)
+    # 36-sized tiles: ceil(50/36)=2, ceil(40/36)=2, ceil(30/36)=1 -> 4 tiles
+    assert plan.num_tiles == 4
+    assert plan.padded_size == (36, 72, 72)  # zyx of padded xyz (72,72,36)
+    assert plan.corners[0] == (10 - 19, 20 - 19, 30 - 19)
+
+
+@pytest.fixture(scope="module")
+def gen_and_params():
+    gen = UNetGenerator(wf=32)
+    x = jnp.zeros((1, 74, 74, 1))
+    params = gen.init(jax.random.PRNGKey(3), x)
+    return gen, params
+
+
+def test_tile_step_uint8_roundtrip(gen_and_params):
+    gen, params = gen_and_params
+    step = make_tile_step(lambda p, x: gen.apply(p, x), params,
+                          (0.1, 0.9), (0.0, 1.0), tpad=2)
+    tiles = np.random.default_rng(0).integers(0, 255, size=(2, 74, 74),
+                                              dtype=np.uint8)
+    out = np.asarray(step(jnp.asarray(tiles)))
+    assert out.shape == (2, 36, 36)
+    assert out.dtype == np.uint8
+
+
+def _predict_2d_tiled_vs_whole(gen, params):
+    """2D stitching check via predict_tiled on an in-memory source.
+
+    Use a 3D-looking volume of thickness 1?  2D models take (B, y, x, 1);
+    easier: run the 3D machinery in 2D by treating tiles as 2D — instead we
+    check 3D stitching in test_stitching_3d (slow) and 2D equivalence here
+    directly with gather/scatter math.
+    """
+
+
+def test_stitching_2d_matches_whole(gen_and_params):
+    """Predict a 112^2 region tiled (4 tiles of out 36 + trim) vs whole-image
+    prediction; interiors must agree exactly."""
+    gen, params = gen_and_params
+    shapes = generator_shapes(74)
+    rng = np.random.default_rng(1)
+    # big image with halo margin around the 72^2 region of interest
+    big = rng.integers(0, 255, size=(256, 256), dtype=np.uint8)
+    meanstd = (0.05, 0.8)
+
+    # whole prediction over the region + halo, via a 74-in window at each
+    # 36-out tile; emulate with the tiling planner on a 2D-volume-as-3D? The
+    # tiling module is 3D (cubes); do the 2D check manually:
+    plan = plan_tiles((64, 64, 0), (72, 72, 1), shapes.out, shapes.buffer)
+    assert plan.outdimsize == 36 and plan.insize == 74
+
+    step = make_tile_step(lambda p, x: gen.apply(p, x), params,
+                          meanstd, meanstd, tpad=plan.tpad)
+
+    out_tiled = np.zeros((72, 72), np.uint8)
+    for (cx, cy, cz), (ix, iy, iz) in zip(plan.corners, plan.indices):
+        if cz != -plan.buffer:  # only one z layer in 2D
+            continue
+        tile = big[cy:cy + 74, cx:cx + 74]  # (y, x) window
+        pred = np.asarray(step(jnp.asarray(tile[None])))[0]
+        out_tiled[iy:iy + 36, ix:ix + 36] = pred
+
+    # whole-shot: input window covering the full region + halo
+    whole_in = big[64 - plan.buffer:64 + 72 + plan.buffer,
+                   64 - plan.buffer:64 + 72 + plan.buffer]
+    from transfer_em_tpu.ops.normalize import postprocess_to_u8, preprocess_u8
+    x = preprocess_u8(jnp.asarray(whole_in[None]), meanstd)
+    y = gen.apply(params, x)
+    whole = np.asarray(postprocess_to_u8(y, meanstd))[0, :, :, 0]
+    # whole covers (72+2*tpad)^2 = 76^2 output; trim tpad
+    t = plan.tpad
+    whole = whole[t:-t, t:-t]
+    assert whole.shape == (72, 72)
+    np.testing.assert_array_equal(out_tiled, whole)
+
+
+def test_predict_tiled_in_memory_3d():
+    """End-to-end predict_tiled over an in-memory zyx volume (gather_blocks
+    source), checking shape/dtype and determinism."""
+    gen = UNetGenerator(wf=32)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 74, 74, 74, 1)))
+    rng = np.random.default_rng(2)
+    vol = rng.integers(0, 255, size=(160, 160, 160), dtype=np.uint8)
+
+    def fetch_tile(corner, insize):
+        return gather_blocks(vol, [corner], insize)[0]
+
+    out = predict_tiled(fetch_tile, lambda p, x: gen.apply(p, x), params,
+                        start=(40, 40, 40), size=(36, 36, 36),
+                        outdimsize=40, buffer=17,
+                        meanstd_x=(0.0, 1.0), meanstd_y=(0.0, 1.0),
+                        batch_size=4)
+    assert out.shape == (36, 36, 36)
+    assert out.dtype == np.uint8
+    out2 = predict_tiled(fetch_tile, lambda p, x: gen.apply(p, x), params,
+                         start=(40, 40, 40), size=(36, 36, 36),
+                         outdimsize=40, buffer=17,
+                         meanstd_x=(0.0, 1.0), meanstd_y=(0.0, 1.0),
+                         batch_size=2)
+    np.testing.assert_array_equal(out, out2)

@@ -1,0 +1,82 @@
+"""Generator export / load: the SavedModel + meta.json contract.
+
+Reference utils.py:133-167 ``save_model`` exports generator_g only as a Keras
+SavedModel plus a ``meta.json`` with buffer / outdimsize / meanstd_x /
+meanstd_y; the AI-Platform predictors load it back (predict_service.py:55-74).
+
+TPU-native equivalent: flax msgpack parameter file (``generator.msgpack``)
+plus the same ``meta.json`` keys (we add dimsize/is3d/wf so the model can be
+reconstructed without the checkpoint).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from ..config import CycleGANConfig, ExportMeta
+from ..models.generator import UNetGenerator
+from ..shapes import generator_shapes
+
+PARAMS_FILE = "generator.msgpack"
+META_FILE = "meta.json"
+
+
+def export_generator(params, meta: ExportMeta, out_dir: str) -> None:
+    """Write generator params + meta.json to ``out_dir``."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, PARAMS_FILE), "wb") as f:
+        f.write(serialization.to_bytes(jax.tree.map(np.asarray, params)))
+    with open(os.path.join(out_dir, META_FILE), "w") as f:
+        f.write(meta.to_json())
+
+
+def load_generator(model_dir: str):
+    """Load an exported generator: returns (gen_module, params, meta)."""
+    meta = ExportMeta.from_json(
+        open(os.path.join(model_dir, META_FILE)).read())
+    gen = UNetGenerator(wf=meta.wf)
+    sp = (meta.dimsize,) * (3 if meta.is3d else 2)
+    import jax.numpy as jnp
+    template = gen.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1,) + sp + (1,), jnp.float32))
+    with open(os.path.join(model_dir, PARAMS_FILE), "rb") as f:
+        params = serialization.from_bytes(template, f.read())
+    return gen, params, meta
+
+
+def save_model(name: str, ckpt_dir: str, meanstd_x: Tuple[float, float],
+               meanstd_y: Tuple[float, float], size: int = 74,
+               is3d: bool = True, wf: int = 8) -> None:
+    """Reconstruct EM2EM from a checkpoint and export generator G
+    (reference utils.py:133-167; CLI in cli/save_model.py).
+
+    Note the reference defaults size=132, a stale recipe its own
+    VALID_DIMS=[74] rejects (SURVEY.md §7 quirks); we default to 74.
+    """
+    from ..train.cgan import EM2EM
+    model = EM2EM(size, name, is3d=is3d, wf=wf, ckpt_restore=ckpt_dir)
+    meta = ExportMeta(buffer=model.buffer, outdimsize=model.outdimsize,
+                      meanstd_x=tuple(map(float, meanstd_x)),
+                      meanstd_y=tuple(map(float, meanstd_y)),
+                      dimsize=size, is3d=is3d, wf=wf)
+    export_generator(model.state.gg, meta, name)
+
+
+def predict_cube_from_saved_model(location: str, start, size, cloudrun: str,
+                                  model_dir: str, fetch_input: bool = False,
+                                  batch_size: int = 8):
+    """Tiled inference from an exported model dir (reference utils.py:12-38)."""
+    from .tiling import predict_ng_cube
+    gen, params, meta = load_generator(model_dir)
+    gen_apply = lambda p, x: gen.apply(p, x)
+    return predict_ng_cube(
+        location, start, size, (gen_apply, params),
+        meta.meanstd_x, meta.meanstd_y, cloudrun,
+        fetch_input=fetch_input, outdimsize=meta.outdimsize,
+        buffer=meta.buffer, batch_size=batch_size)

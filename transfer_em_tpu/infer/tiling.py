@@ -1,0 +1,220 @@
+"""Tiled large-volume inference with VALID-conv overlap stitching.
+
+Reproduces reference transfer_em/utils.py:41-130 ``predict_ng_cube`` with a
+TPU-first execution model:
+
+* same tile plan: output tile forced to a multiple of 6 (40 -> 36, trim
+  ``tpad=2`` folded into the halo, buffer 17 -> 19; utils.py:70-75), ROI
+  corners at tile-buffer, xyz index -> zyx C-order output buffer
+  (utils.py:78-125);
+* but the reference's serial ``model.predict`` python loop becomes a jitted
+  **batched** map: tiles are batched to a static shape, uint8 in / uint8 out
+  (pre/post scaling fused on device, 1 byte/voxel each way), and the batch
+  axis shards over the mesh's data axis for multi-chip fan-out.  Remaining
+  host work is a memcpy scatter (C++ fast path in native/, numpy fallback).
+
+Stitching is seam-free by construction (VALID convs); verified in
+tests/test_tiling.py by predicting a block whole vs tiled.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.normalize import postprocess_to_u8, preprocess_u8
+from ..shapes import tile_plan_outdimsize
+
+
+@dataclasses.dataclass(frozen=True)
+class TilePlan:
+    """Static description of one tiled-inference run."""
+
+    start: Tuple[int, int, int]        # requested xyz start
+    size: Tuple[int, int, int]         # requested xyz size
+    outdimsize: int                    # effective output tile (multiple of 6)
+    buffer: int                        # effective halo (incl. folded tpad)
+    tpad: int                          # extra trim per face on model output
+    corners: Tuple[Tuple[int, int, int], ...]   # fetch corners (xyz, -buffer)
+    indices: Tuple[Tuple[int, int, int], ...]   # output offsets (xyz)
+    padded_size: Tuple[int, int, int]  # zyx padded output-buffer shape
+
+    @property
+    def insize(self) -> int:
+        return self.outdimsize + 2 * self.buffer
+
+    @property
+    def num_tiles(self) -> int:
+        return len(self.corners)
+
+
+def plan_tiles(start: Sequence[int], size: Sequence[int], outdimsize: int,
+               buffer: int) -> TilePlan:
+    """Chunk an xyz request into overlapping tiles (reference utils.py:68-104)."""
+    outdimsize, buffer, tpad = tile_plan_outdimsize(outdimsize, buffer)
+    corners: List[Tuple[int, int, int]] = []
+    indices: List[Tuple[int, int, int]] = []
+    for x in range(start[0], start[0] + size[0], outdimsize):
+        for y in range(start[1], start[1] + size[1], outdimsize):
+            for z in range(start[2], start[2] + size[2], outdimsize):
+                corners.append((x - buffer, y - buffer, z - buffer))
+                indices.append((x - start[0], y - start[1], z - start[2]))
+    padded = []
+    for s in size:
+        extra = (outdimsize - s % outdimsize) % outdimsize
+        padded.append(s + extra)
+    padded_zyx = (padded[2], padded[1], padded[0])
+    return TilePlan(start=tuple(start), size=tuple(size),
+                    outdimsize=outdimsize, buffer=buffer, tpad=tpad,
+                    corners=tuple(corners), indices=tuple(indices),
+                    padded_size=padded_zyx)
+
+
+def make_tile_step(gen_apply: Callable, params, meanstd_x, meanstd_y,
+                   tpad: int, sharding=None):
+    """Jitted fused step: uint8 tile batch -> uint8 prediction batch.
+
+    (B, s, s, s) u8 -> preprocess (scale+standardize, fused affine) ->
+    generator -> unstandardize/rescale/round -> trim tpad.  With ``sharding``
+    (a NamedSharding over the data axis) the batch fans out across chips.
+    """
+
+    def step(tiles_u8: jax.Array) -> jax.Array:
+        x = preprocess_u8(tiles_u8, meanstd_x)
+        y = gen_apply(params, x)
+        if tpad > 0:
+            nd = y.ndim - 2
+            sl = (slice(None),) + (slice(tpad, -tpad),) * nd + (slice(None),)
+            y = y[sl]
+        return postprocess_to_u8(y, meanstd_y)[..., 0]
+
+    jitted = jax.jit(step, in_shardings=sharding, out_shardings=sharding) \
+        if sharding is not None else jax.jit(step)
+    return jitted
+
+
+def scatter_tiles(out_zyx: np.ndarray, tiles_u8: np.ndarray,
+                  indices: Sequence[Tuple[int, int, int]], outdimsize: int):
+    """Write predicted tiles (zyx each) into the zyx output buffer at xyz
+    indices (reference utils.py:121-125).  Numpy fallback; native/ provides a
+    threaded C++ memcpy version for large volumes."""
+    from ..native import scatter_blocks
+    scatter_blocks(out_zyx, tiles_u8, indices, outdimsize)
+
+
+def predict_tiled(
+        fetch_tile: Callable[[Tuple[int, int, int], int], np.ndarray],
+        gen_apply: Callable, params,
+        start: Sequence[int], size: Sequence[int],
+        outdimsize: int, buffer: int,
+        meanstd_x, meanstd_y,
+        batch_size: int = 8,
+        fetch_input: bool = False,
+        sharding=None,
+        fetch_threads: int = 8,
+) -> np.ndarray | Tuple[np.ndarray, np.ndarray]:
+    """Full tiled inference: fetch -> batched jitted predict -> stitch -> crop.
+
+    Args:
+      fetch_tile: (corner_xyz, insize) -> uint8 cube (the data source).
+      gen_apply: generator forward (params, float batch) -> float batch.
+      batch_size: tiles per device step (reference ran batch=1 serially).
+    Returns:
+      zyx uint8 array of ``size`` (and the input volume if fetch_input).
+    """
+    import concurrent.futures as cf
+
+    plan = plan_tiles(start, size, outdimsize, buffer)
+    step = make_tile_step(gen_apply, params, meanstd_x, meanstd_y, plan.tpad,
+                          sharding)
+
+    out = np.zeros(plan.padded_size, np.uint8)
+    in_out = np.zeros(plan.padded_size, np.uint8) if fetch_input else None
+
+    def fetch(corner):
+        return fetch_tile(corner, plan.insize)
+
+    n = plan.num_tiles
+    with cf.ThreadPoolExecutor(max_workers=fetch_threads) as ex:
+        fetched = ex.map(fetch, plan.corners)
+        batch_tiles: List[np.ndarray] = []
+        batch_idx: List[Tuple[int, int, int]] = []
+
+        def flush():
+            if not batch_tiles:
+                return
+            k = len(batch_tiles)
+            arr = np.stack(batch_tiles)
+            if k < batch_size:  # pad to static shape for jit
+                pad = np.zeros((batch_size - k,) + arr.shape[1:], np.uint8)
+                arr = np.concatenate([arr, pad])
+            pred = np.asarray(step(jnp.asarray(arr)))[:k]
+            scatter_tiles(out, pred, batch_idx, plan.outdimsize)
+            if fetch_input:
+                b, t = plan.buffer, plan.tpad
+                lo, hi = b, b + plan.outdimsize
+                ins = arr[:k, lo:hi, lo:hi, lo:hi]
+                scatter_tiles(in_out, ins, batch_idx, plan.outdimsize)
+            batch_tiles.clear()
+            batch_idx.clear()
+
+        for tile, idx in zip(fetched, plan.indices):
+            batch_tiles.append(np.asarray(tile, np.uint8))
+            batch_idx.append(idx)
+            if len(batch_tiles) == batch_size:
+                flush()
+        flush()
+
+    sx, sy, sz = size
+    res = out[:sz, :sy, :sx]
+    if fetch_input:
+        return in_out[:sz, :sy, :sx], res
+    return res
+
+
+def predict_ng_cube(location: str, start, size, model, meanstd_x, meanstd_y,
+                    cloudrun: Optional[str] = None, fetch_input: bool = False,
+                    outdimsize: Optional[int] = None,
+                    buffer: Optional[int] = None,
+                    batch_size: int = 8):
+    """API-parity tiled inference from ng-precomputed (reference utils.py:41).
+
+    ``model``: an EM2EM instance (uses generator G) or a (gen_apply, params)
+    pair with explicit outdimsize/buffer.
+    """
+    from ..data.sources import CloudRunFetcher, open_tensorstore
+
+    if hasattr(model, "outdimsize"):
+        outdimsize = outdimsize if outdimsize is not None else model.outdimsize
+        buffer = buffer if buffer is not None else model.buffer
+        gen_apply = lambda p, x: model.gen.apply(p, x)
+        params = model.state.gg
+    else:
+        gen_apply, params = model
+        assert outdimsize is not None and buffer is not None
+
+    if cloudrun is None:
+        ds = open_tensorstore(location)
+
+        def fetch_tile(corner, insize):
+            x, y, z = corner
+            data = ds[x:x + insize, y:y + insize, z:z + insize].read(
+                order="F").result()
+            # tensorstore yields xyz-indexed data; tiles are zyx throughout
+            # (the reference mixes the two — utils.py:121 scatters xyz tiles
+            # into a zyx buffer; we keep one consistent convention).
+            return np.asarray(data, np.uint8).transpose(2, 1, 0)
+    else:
+        fetcher = CloudRunFetcher(cloudrun, location)
+
+        def fetch_tile(corner, insize):
+            return fetcher.fetch(corner, insize)
+
+    return predict_tiled(fetch_tile, gen_apply, params, start, size,
+                         outdimsize, buffer, meanstd_x, meanstd_y,
+                         batch_size=batch_size, fetch_input=fetch_input)

@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.convs import asymmetric_center_crop
+from ..ops.convs import crop_to_match
 from ..shapes import generator_shapes, is_valid_dimsize
 from .blocks import ConvND, DownBlock, UpBlock, leaky_relu
 
@@ -60,7 +60,7 @@ class UNetGenerator(nn.Module):
         up1 = UpBlock(128 // self.wf, use_norm=self.use_norm,
                       compute_dtype=cd, name="up1")(
                           down2, deterministic=deterministic)
-        skip1c = asymmetric_center_crop(skip1, up1.shape[1])
+        skip1c = crop_to_match(skip1, up1)
         x = jnp.concatenate([up1, skip1c], axis=-1)
 
         x = ConvND(256 // self.wf, 3, compute_dtype=cd, name="mid")(x)
@@ -68,7 +68,7 @@ class UNetGenerator(nn.Module):
 
         up0 = UpBlock(64 // self.wf, use_norm=self.use_norm,
                       compute_dtype=cd, name="up0")(x, deterministic=deterministic)
-        skip0c = asymmetric_center_crop(skip0, up0.shape[1])
+        skip0c = crop_to_match(skip0, up0)
         x = jnp.concatenate([up0, skip0c], axis=-1)
 
         x = ConvND(128 // self.wf, 3, compute_dtype=cd, name="head")(x)

@@ -131,15 +131,25 @@ def zero_pad(x: jax.Array, pad: int) -> jax.Array:
     return jnp.pad(x, cfg)
 
 
-def asymmetric_center_crop(x: jax.Array, target: int) -> jax.Array:
-    """Crop spatial axes down to ``target``, extra voxel goes to the high side.
+def asymmetric_center_crop(x: jax.Array, target) -> jax.Array:
+    """Crop each spatial axis down to ``target`` (int or per-axis tuple);
+    an odd leftover voxel goes to the high side.
 
     Matches the reference skip-connection crop (generator.py:74-86): crop1 =
-    (dim-target)//2, crop2 = crop1 (+1 if odd).
+    (dim-target)//2, crop2 = crop1 (+1 if odd).  Per-axis targets support
+    anisotropic inputs (e.g. spatially-sharded slabs in parallel/halo.py).
     """
     ndim = x.ndim - 2
-    dim = x.shape[1]
-    total = dim - target
-    lo = total // 2
-    hi = total - lo
-    return center_crop(x, [(lo, hi)] * ndim)
+    if isinstance(target, int):
+        target = (target,) * ndim
+    crops = []
+    for ax in range(ndim):
+        total = x.shape[1 + ax] - target[ax]
+        lo = total // 2
+        crops.append((lo, total - lo))
+    return center_crop(x, crops)
+
+
+def crop_to_match(x: jax.Array, ref: jax.Array) -> jax.Array:
+    """Center-crop x's spatial axes to match ref's spatial shape."""
+    return asymmetric_center_crop(x, tuple(ref.shape[1:-1]))

@@ -1,0 +1,86 @@
+"""Spatial (halo-exchange) parallel inference — the CNN analogue of SP/CP.
+
+The reference handles large volumes with a *serial* overlap-tile loop
+(utils.py:107-126).  Tiles are independent, so the batched path
+(infer/tiling.py) already parallelizes trivially; this module adds the true
+sharded-volume mode from SURVEY.md §2.3: one huge block is sharded along z
+across the ``space`` mesh axis, VALID-conv halos (buffer=17 voxels per face)
+are exchanged between neighbor devices with ``lax.ppermute`` over ICI inside
+a single ``shard_map``-ped program, and every shard runs the generator on its
+extended slab.  No host round-trips, no re-fetch of overlapping halos.
+
+Semantics: ``halo_predict(vol)`` == ``generator(zpad(vol, buffer))`` with
+output z-extent equal to vol's (y/x shrink by 2*buffer as usual).  Callers
+wanting reference-tiling semantics include real halo data in the first/last
+``buffer`` z-planes and crop; edge shards see zeros beyond the volume exactly
+like the reference's ZeroPadding in train (cgan.py:160).
+
+Alignment: each shard's slab extent S must keep the global stride-4 pooling
+phase, i.e. S % 4 == 0 and (S + 2*buffer) a valid dimsize — checked here,
+verified bit-exact vs the unsharded generator in tests/test_parallel.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..shapes import is_valid_dimsize
+from .mesh import SPACE_AXIS
+
+
+def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
+                    z_extent: int, n_space: int):
+    """Build the jitted sharded predictor.
+
+    Args:
+      gen_apply: (params, batch) -> output, the generator forward.
+      z_extent: global z size of the input volume (sharded axis).
+      n_space: devices on the space axis.
+    Returns:
+      f(params, vol) with vol (Z, Y, X, 1) z-sharded -> (Z, Y-2b, X-2b, 1).
+    """
+    assert z_extent % n_space == 0, (z_extent, n_space)
+    slab = z_extent // n_space
+    assert slab % 4 == 0, (
+        f"slab extent {slab} breaks the stride-4 pooling phase; choose a "
+        f"z extent with z/n_space % 4 == 0")
+    assert slab > buffer, f"slab {slab} must exceed halo {buffer}"
+    if not is_valid_dimsize(slab + 2 * buffer):
+        raise ValueError(f"extended slab {slab + 2*buffer} not a valid dimsize")
+
+    fwd_perm = [(i, i + 1) for i in range(n_space - 1)]   # send down-edge right
+    bwd_perm = [(i + 1, i) for i in range(n_space - 1)]   # send up-edge left
+
+    def local_fn(params, vol_slab):
+        # vol_slab: (slab, Y, X, 1) on each device
+        # Halo exchange: neighbors' boundary planes; global edges get zeros
+        # (ppermute leaves non-receiving devices with zeros).
+        upper = lax.ppermute(vol_slab[-buffer:], SPACE_AXIS, fwd_perm)
+        lower = lax.ppermute(vol_slab[:buffer], SPACE_AXIS, bwd_perm)
+        ext = jnp.concatenate([upper, vol_slab, lower], axis=0)
+        out = gen_apply(params, ext[None])[0]
+        return out
+
+    f = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(SPACE_AXIS, None, None, None)),
+        out_specs=P(SPACE_AXIS, None, None, None),
+        check_rep=False,
+    )
+    return jax.jit(f)
+
+
+def halo_predict(gen_apply: Callable, params, vol: jax.Array, mesh: Mesh,
+                 buffer: int) -> jax.Array:
+    """One-shot convenience wrapper: shard vol over 'space' and predict."""
+    n_space = mesh.shape[SPACE_AXIS]
+    f = halo_predict_fn(gen_apply, mesh, buffer, vol.shape[0], n_space)
+    vol = jax.device_put(vol, NamedSharding(mesh, P(SPACE_AXIS, None, None, None)))
+    return f(params, vol)

@@ -1,0 +1,60 @@
+"""Device-mesh helpers for DP ("data") and spatial ("space") parallelism.
+
+The reference has no parallelism of any kind (SURVEY.md §2.3): data-parallel
+training was an unimplemented TODO (reference cgan.py:8-11, README.md:93-94)
+and spatial scale-out was a serial tile loop (utils.py:107-126).  Here both
+are first-class mesh axes:
+
+* ``data``  — batch sharding; gradients all-reduce over ICI inside jit.
+* ``space`` — spatial sharding of large volumes for halo-exchange inference
+  (the CNN analogue of sequence/context parallelism).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SPACE_AXIS = "space"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              data: Optional[int] = None,
+              space: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, space) mesh over the available devices.
+
+    Defaults: all devices on the data axis.  The product data*space must
+    equal the device count.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if data is None:
+        assert n % space == 0, (n, space)
+        data = n // space
+    assert data * space == n, (data, space, n)
+    arr = np.asarray(devices).reshape(data, space)
+    return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 (batch) over every mesh axis (data and space both act as
+    data parallelism for training)."""
+    return NamedSharding(mesh, P((DATA_AXIS, SPACE_AXIS)))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def space_sharding(mesh: Mesh, ndim_spatial: int) -> NamedSharding:
+    """Shard the leading spatial axis of a (batch-less) volume over 'space'."""
+    spec = [SPACE_AXIS] + [None] * (ndim_spatial - 1)
+    return NamedSharding(mesh, P(*spec))

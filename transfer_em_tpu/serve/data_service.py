@@ -1,0 +1,174 @@
+"""Data-access service: POST /volume and GET /slice/... over HTTP.
+
+Reproduces the reference Cloud Run data service
+(cloudrun_functions/transferem.py):
+
+* ``POST /volume``   {location, start[xyz], size[xyz], scale_index?, jpeg?}
+  -> raw bytes, F-order xyz == C-order zyx (transferem.py:109-192), or JPEG
+  for a single slice.
+* ``GET /slice/<x_y_z>/<sx_sy_sz>/<fmt>?location=...`` -> 2D image with a
+  256-entry LRU cache capped at 1 MB/entry (transferem.py:26-106).
+
+Implementation: stdlib ThreadingHTTPServer (Flask is not in the image); same
+routes, JSON bodies, and byte contracts, so the reference's clients work
+against it unchanged.  Error handling mirrors the reference: any exception ->
+HTTP 400 with the traceback text.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import traceback
+from collections import OrderedDict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from .backends import open_volume
+
+
+class LruCache:
+    """Memory-capped LRU: entries over 1 MB are not cached
+    (reference transferem.py:26-46)."""
+
+    def __init__(self, limit: int = 256, max_entry: int = 1_000_000):
+        self.cache: "OrderedDict[str, bytes]" = OrderedDict()
+        self.limit = limit
+        self.max_entry = max_entry
+        self._lock = threading.Lock()
+
+    def get(self, key: str) -> Optional[bytes]:
+        with self._lock:
+            if key not in self.cache:
+                return None
+            self.cache.move_to_end(key)
+            return self.cache[key]
+
+    def put(self, key: str, val: bytes) -> None:
+        if len(val) > self.max_entry:
+            return
+        with self._lock:
+            self.cache[key] = val
+            self.cache.move_to_end(key)
+            if len(self.cache) > self.limit:
+                self.cache.popitem(last=False)
+
+
+def _encode_image(data2d: np.ndarray, fmt: str) -> bytes:
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(data2d).save(buf, format=fmt.upper().replace("JPG", "JPEG"))
+    return buf.getvalue()
+
+
+def make_handler(slice_cache: LruCache):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            if parsed.path != "/volume":
+                return self._send(404, b"not found", "text/plain")
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                config = json.loads(self.rfile.read(length))
+                location = config["location"]
+                if location.startswith("gs://"):
+                    location = location[len("gs://"):]
+                start = config["start"]   # xyz
+                size = config["size"]     # xyz
+                scale_index = config.get("scale_index", 0)
+                use_jpeg = config.get("jpeg", False)
+                vol = open_volume(location, scale_index)
+                data_zyx = vol.read(start, size)
+                if not use_jpeg or size[2] > 1:
+                    # C-order zyx bytes == F-order xyz bytes
+                    self._send(200, data_zyx.tobytes(),
+                               "application/octet-stream")
+                else:
+                    img = np.squeeze(data_zyx)  # (sy, sx) -> y-major 2D
+                    self._send(200, _encode_image(img, "jpeg"), "image/jpeg")
+            except Exception:
+                self._send(400, traceback.format_exc().encode(), "text/plain")
+
+        def do_GET(self):
+            parsed = urlparse(self.path)
+            parts = parsed.path.strip("/").split("/")
+            if len(parts) != 4 or parts[0] != "slice":
+                return self._send(404, b"not found", "text/plain")
+            try:
+                startstr, sizestr, fmt = parts[1], parts[2], parts[3]
+                start = [int(v) for v in startstr.split("_")]
+                size = [int(v) for v in sizestr.split("_")]
+                q = parse_qs(parsed.query)
+                location = q["location"][0]
+                if 1 not in size[:3]:
+                    return self._send(400, b"one dimension must be size 1",
+                                      "text/plain")
+                key = f"{location}_{startstr}_{sizestr}_{fmt}"
+                resp = slice_cache.get(key)
+                if resp is None:
+                    vol = open_volume(location)
+                    data = np.squeeze(vol.read(start, size))
+                    resp = _encode_image(data, fmt)
+                    slice_cache.put(key, resp)
+                self._send(200, resp, f"image/{fmt}")
+            except Exception:
+                self._send(400, traceback.format_exc().encode(), "text/plain")
+
+    return Handler
+
+
+class DataService:
+    """Threaded HTTP service; ``start()`` returns the bound port."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self.cache = LruCache()
+        self.server = ThreadingHTTPServer((host, port),
+                                          make_handler(self.cache))
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self.server.server_address[1]
+
+    @property
+    def url(self) -> str:
+        host, port = self.server.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def start(self) -> int:
+        self._thread = threading.Thread(target=self.server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self.port
+
+    def stop(self):
+        self.server.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def main():  # pragma: no cover
+    import os
+    svc = DataService(host="0.0.0.0",
+                      port=int(os.environ.get("PORT", 8080)))
+    print(f"data service on {svc.url}")
+    svc.server.serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

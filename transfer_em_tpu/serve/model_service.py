@@ -1,0 +1,193 @@
+"""Model-serving service: POST / runs the generator on a 64-aligned chunk.
+
+Reproduces the reference model Cloud Run service (model_cloudrun/
+transferem.py): request {location, start, glbstart, size, model_name, dest}
+-> validate 64-alignment (:66-73), load/cache one model (:85-116), read the
+chunk + halo (:118-135), fused pre/post scaling + predict, write the result
+as 64^3 gzip neuroglancer blocks named "x0-x1_y0-y1_z0-z1" under dest
+(:158-189).
+
+Differences, deliberate: model storage is a local directory tree (or GCS when
+google-cloud-storage is importable) holding our msgpack+meta export
+(infer/export.py); prediction is batched tiled inference on the accelerator
+rather than a single whole-chunk predict, so chunk size is not bounded by
+device memory.  Block upload uses a thread pool (reference used 2 threads).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import threading
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from ..infer.export import load_generator
+from ..infer.tiling import predict_tiled
+from .backends import open_volume
+
+BLOCK = 64
+
+
+class BlockWriter:
+    """Write 64^3 gzip blocks to a destination (local dir or gs:// bucket)."""
+
+    def __init__(self, dest: str):
+        self.dest = dest
+        self.is_gcs = dest.startswith("gs://")
+        if self.is_gcs:
+            from google.cloud import storage  # gated
+            path = dest[len("gs://"):]
+            parts = path.split("/")
+            self.bucket = storage.Client().bucket(parts[0])
+            self.prefix = "/".join(parts[1:])
+        else:
+            os.makedirs(dest, exist_ok=True)
+
+    def write(self, name: str, raw: bytes):
+        payload = gzip.compress(raw)
+        if self.is_gcs:
+            blob = self.bucket.blob(f"{self.prefix}/{name}")
+            blob.content_encoding = "gzip"
+            blob.upload_from_string(payload,
+                                    content_type="application/octet-stream")
+        else:
+            with open(os.path.join(self.dest, name), "wb") as f:
+                f.write(payload)
+
+
+def write_ng_blocks(data_zyx: np.ndarray, dest: str, offset_xyz,
+                    num_threads: int = 4):
+    """Chunk a zyx volume into 64^3 gzip blocks named like the reference
+    (model_cloudrun/transferem.py:172-189)."""
+    writer = BlockWriter(dest)
+    sz, sy, sx = data_zyx.shape
+    ox, oy, oz = offset_xyz
+    jobs = []
+    for z in range(0, sz, BLOCK):
+        for y in range(0, sy, BLOCK):
+            for x in range(0, sx, BLOCK):
+                jobs.append((x, y, z))
+
+    def job(args):
+        x, y, z = args
+        block = data_zyx[z:z + BLOCK, y:y + BLOCK, x:x + BLOCK]
+        name = (f"{x+ox}-{x+block.shape[2]+ox}_"
+                f"{y+oy}-{y+block.shape[1]+oy}_"
+                f"{z+oz}-{z+block.shape[0]+oz}")
+        writer.write(name, block.tobytes())
+
+    with ThreadPoolExecutor(max_workers=num_threads) as ex:
+        list(ex.map(job, jobs))
+
+
+class ModelCache:
+    """Single-model cache keyed by model_name (reference :85-116)."""
+
+    def __init__(self, model_root: str):
+        self.model_root = model_root
+        self._lock = threading.Lock()
+        self._entry = None
+
+    def get(self, model_name: str):
+        with self._lock:
+            if self._entry is not None and self._entry[0] == model_name:
+                return self._entry[1:]
+            # "name:version" -> <root>/name/version/ (reference naming)
+            parts = model_name.split(":")
+            path = os.path.join(self.model_root, *parts)
+            gen, params, meta = load_generator(path)
+            self._entry = (model_name, gen, params, meta)
+            return gen, params, meta
+
+
+def make_handler(cache: ModelCache):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, code, body, ctype="text/plain"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                config = json.loads(self.rfile.read(length))
+                location = config["location"]
+                if location.startswith("gs://"):
+                    location = location[len("gs://"):]
+                start = config["start"]
+                glbstart = config.get("glbstart", [0, 0, 0])
+                size = config["size"]
+                for d in range(3):
+                    if (start[d] - glbstart[d]) % BLOCK != 0:
+                        raise RuntimeError("start must be 64 block aligned")
+                    if size[d] % BLOCK != 0:
+                        raise RuntimeError("size must be 64 block aligned")
+
+                gen, params, meta = cache.get(config["model_name"])
+                vol = open_volume(location)
+
+                def fetch_tile(corner, insize):
+                    return vol.read(corner, (insize,) * 3)  # zyx
+
+                out_zyx = predict_tiled(
+                    fetch_tile, lambda p, x: gen.apply(p, x), params,
+                    start, size, meta.outdimsize, meta.buffer,
+                    meta.meanstd_x, meta.meanstd_y)
+
+                offset = [start[d] - glbstart[d] for d in range(3)]
+                write_ng_blocks(out_zyx, config["dest"], offset)
+                self._send(200, b"success")
+            except Exception:
+                self._send(400, traceback.format_exc().encode())
+
+    return Handler
+
+
+class ModelService:
+    """Threaded model-serving HTTP service."""
+
+    def __init__(self, model_root: Optional[str] = None,
+                 host: str = "127.0.0.1", port: int = 0):
+        model_root = model_root or os.environ.get("MODEL_BUCKET", ".")
+        self.cache = ModelCache(model_root)
+        self.server = ThreadingHTTPServer((host, port),
+                                          make_handler(self.cache))
+        self._thread = None
+
+    @property
+    def url(self) -> str:
+        host, port = self.server.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def start(self) -> int:
+        self._thread = threading.Thread(target=self.server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self.server.server_address[1]
+
+    def stop(self):
+        self.server.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def main():  # pragma: no cover
+    svc = ModelService(host="0.0.0.0",
+                       port=int(os.environ.get("PORT", 8080)))
+    print(f"model service on {svc.url}")
+    svc.server.serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

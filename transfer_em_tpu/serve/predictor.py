@@ -1,0 +1,123 @@
+"""Prediction-service predictors (AI-Platform custom predictor equivalents).
+
+* ``TransferEMPredictor``: loads an exported generator dir, accepts one
+  ``{location, cloudrun, start, size}`` instance, runs tiled inference, and
+  returns the volume base64-encoded — reference predict_service.py:14-74.
+* ``NgOutputPredictor``: the self-contained variant that additionally writes
+  the prediction as neuroglancer-precomputed 64^3 gzip blocks (with an
+  ``info`` manifest) under a destination and returns a neuroglancer viewer
+  URL — reference custom_online/predictor.py:41-152.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import uuid
+from typing import List, Optional
+
+import numpy as np
+
+from ..infer.export import load_generator
+from ..infer.tiling import predict_ng_cube
+
+
+class TransferEMPredictor:
+    """Base64 predictor (reference predict_service.py)."""
+
+    def __init__(self, gen, params, meta):
+        self._gen = gen
+        self._params = params
+        self.outdimsize = meta.outdimsize
+        self.buffer = meta.buffer
+        self.meanstd_x = meta.meanstd_x
+        self.meanstd_y = meta.meanstd_y
+
+    def predict(self, instances: List[dict], **kwargs) -> List[bytes]:
+        """One {location, cloudrun, start, size} instance -> [base64 bytes]."""
+        if len(instances) != 1:
+            raise RuntimeError("only one instance allowed")
+        inst = instances[0]
+        res = predict_ng_cube(
+            inst["location"], tuple(inst["start"]), tuple(inst["size"]),
+            (lambda p, x: self._gen.apply(p, x), self._params),
+            self.meanstd_x, self.meanstd_y, inst.get("cloudrun"),
+            outdimsize=self.outdimsize, buffer=self.buffer)
+        return [base64.b64encode(np.ascontiguousarray(res))]
+
+    @classmethod
+    def from_path(cls, model_dir: str) -> "TransferEMPredictor":
+        gen, params, meta = load_generator(model_dir)
+        return cls(gen, params, meta)
+
+
+def write_ng_info(dest_dir_or_bucket, size_xyz, write_fn):
+    """Write a minimal neuroglancer-precomputed ``info`` manifest
+    (reference custom_online/predictor.py:103-127)."""
+    info = {
+        "@type": "neuroglancer_multiscale_volume",
+        "data_type": "uint8",
+        "num_channels": 1,
+        "scales": [{
+            "chunk_sizes": [[64, 64, 64]],
+            "encoding": "raw",
+            "key": "64_64_64",
+            "resolution": [8, 8, 8],
+            "size": list(size_xyz),
+            "voxel_offset": [0, 0, 0],
+        }],
+        "type": "image",
+    }
+    write_fn("info", json.dumps(info).encode())
+
+
+class NgOutputPredictor(TransferEMPredictor):
+    """Predict + publish as an ng volume under a random name, return a viewer
+    URL (reference custom_online/predictor.py)."""
+
+    def __init__(self, gen, params, meta, dest_root: str,
+                 viewer_base: str = "https://neuroglancer-demo.appspot.com"):
+        super().__init__(gen, params, meta)
+        self.dest_root = dest_root
+        self.viewer_base = viewer_base
+
+    def predict(self, instances: List[dict], **kwargs) -> List[str]:
+        if len(instances) != 1:
+            raise RuntimeError("only one instance allowed")
+        inst = instances[0]
+        vol_zyx = predict_ng_cube(
+            inst["location"], tuple(inst["start"]), tuple(inst["size"]),
+            (lambda p, x: self._gen.apply(p, x), self._params),
+            self.meanstd_x, self.meanstd_y, inst.get("cloudrun"),
+            outdimsize=self.outdimsize, buffer=self.buffer)
+
+        name = str(uuid.uuid4())
+        from .model_service import write_ng_blocks
+        dest = os.path.join(self.dest_root, name)
+        size_xyz = list(inst["size"])
+
+        if dest.startswith("gs://"):
+            from .model_service import BlockWriter
+            writer = BlockWriter(dest)
+            write_ng_info(dest, size_xyz, writer.write)
+            scale_writer = BlockWriter(dest + "/64_64_64")
+            write_ng_blocks(vol_zyx, dest + "/64_64_64", (0, 0, 0))
+            del scale_writer
+        else:
+            os.makedirs(dest, exist_ok=True)
+            write_ng_info(dest, size_xyz,
+                          lambda n, b: open(os.path.join(dest, n), "wb").write(b))
+            write_ng_blocks(vol_zyx, os.path.join(dest, "64_64_64"), (0, 0, 0))
+
+        source = f"precomputed://{dest}"
+        state = {"layers": [{"type": "image", "source": source, "name": name}]}
+        url = f"{self.viewer_base}/#!{json.dumps(state, separators=(',', ':'))}"
+        return [url]
+
+    @classmethod
+    def from_path(cls, model_dir: str, dest_root: Optional[str] = None
+                  ) -> "NgOutputPredictor":
+        gen, params, meta = load_generator(model_dir)
+        return cls(gen, params, meta,
+                   dest_root or os.environ.get("NG_DEST", "./ng_out"))
