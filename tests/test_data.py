@@ -125,9 +125,6 @@ def test_generator_dataset_epoch_bound(rng):
 
 def test_corner_stream_seeded_reproducible():
     bbox = ((0, 0, 0), (100, 100, 100))
-    s1 = [next(iter_) for iter_ in [corner_stream(bbox, 10, seed=3)]
-          for _ in range(5)]
-    a = list(zip(*[corner_stream(bbox, 10, seed=3)] * 1))
     c1 = corner_stream(bbox, 10, seed=3)
     c2 = corner_stream(bbox, 10, seed=3)
     got1 = [next(c1) for _ in range(10)]

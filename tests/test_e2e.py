@@ -1,0 +1,103 @@
+"""End-to-end: the simple_training recipe (SURVEY.md §4 fixture #2).
+
+Given only a target domain, manufacture a source domain with warp (blur +
+holes), train the CycleGAN a little, and verify the machinery: losses move,
+checkpoints save/restore exactly, prediction + RMSE evaluation work.
+(The reference's de-facto test is examples/simple_training.ipynb.)
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transfer_em_tpu.data import create_dataset_from_tensors
+from transfer_em_tpu.debug import accuracy, warp
+from transfer_em_tpu.ops.convs import center_crop
+from transfer_em_tpu.train import EM2EM
+
+
+def make_patches(rng, n=8, size=74):
+    """Synthetic structured grayscale patches (the reference's shipped
+    resources.tgz is absent upstream — SURVEY.md §2.2 note — so we
+    synthesize blobby EM-ish texture with a numpy box smooth)."""
+    xs = []
+    for _ in range(n):
+        v = rng.normal(size=(size + 8, size + 8)).astype(np.float32)
+        c = np.cumsum(np.cumsum(v, 0), 1)
+        s = (c[8:, 8:] - c[:-8, 8:] - c[8:, :-8] + c[:-8, :-8])[:size, :size]
+        s = (s - s.min()) / max(float(np.ptp(s)), 1e-6)
+        xs.append((s * 255).astype(np.uint8))
+    return xs
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    ckroot = str(tmp_path_factory.mktemp("ck"))
+    rng = np.random.default_rng(0)
+    patches = make_patches(rng, n=4)
+
+    target_ds, meanstd_y = create_dataset_from_tensors(
+        patches, batch_size=2, enable_augmentation=False)
+    source_ds, meanstd_x = create_dataset_from_tensors(
+        patches, batch_size=2, custom_map=warp, enable_augmentation=False)
+
+    model = EM2EM(74, "e2e_test", is3d=False, wf=32,
+                  checkpoint_root=ckroot, seed=0)
+    model.train(source_ds, target_ds, epochs=1, check_freq=1)
+    return model, ckroot, source_ds, meanstd_x, meanstd_y
+
+
+def test_training_produces_checkpoint(trained):
+    model, ckroot, *_ = trained
+    assert model._ckpt_mgr.latest_step() == 1
+    assert int(model.state.step) == 2  # 2 batches x 1 epoch
+
+
+def test_predict_shapes_and_eval(trained):
+    model, _, source_ds, *_ = trained
+    batch = next(iter(source_ds))
+    pred = model.predict(batch)
+    assert pred.shape == (2, 40, 40, 1)
+    gt = center_crop(batch, model.buffer)
+    rmse = accuracy(gt[0], pred[0])
+    assert np.isfinite(rmse)
+
+
+def test_checkpoint_restore_exact(trained):
+    model, ckroot, *_ = trained
+    restored = EM2EM(74, "e2e_test", is3d=False, wf=32,
+                     checkpoint_root=ckroot, seed=123)  # different init seed
+    for a, b in zip(jax.tree.leaves(model.state.gg),
+                    jax.tree.leaves(restored.state.gg)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state restored too
+    for a, b in zip(jax.tree.leaves(model.state.opt_gg),
+                    jax.tree.leaves(restored.state.opt_gg)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_training_continues_from_restore(trained):
+    model, ckroot, source_ds, *_ = trained
+    restored = EM2EM(74, "e2e_test", is3d=False, wf=32,
+                     checkpoint_root=ckroot)
+    step_before = int(restored.state.step)
+    batch = next(iter(source_ds))
+    restored.train_step(batch, batch)
+    assert int(restored.state.step) == step_before + 1
+
+
+def test_export_after_training(trained, tmp_path):
+    from transfer_em_tpu.config import ExportMeta
+    from transfer_em_tpu.infer.export import export_generator, load_generator
+    model, *_ = trained
+    meta = ExportMeta(buffer=model.buffer, outdimsize=model.outdimsize,
+                      meanstd_x=(0.0, 1.0), meanstd_y=(0.0, 1.0),
+                      dimsize=74, is3d=False, wf=32)
+    export_generator(model.state.gg, meta, str(tmp_path / "m"))
+    gen2, params2, meta2 = load_generator(str(tmp_path / "m"))
+    x = jnp.zeros((1, 74, 74, 1))
+    np.testing.assert_array_equal(np.asarray(model.predict(x)),
+                                  np.asarray(gen2.apply(params2, x)))

@@ -126,9 +126,21 @@ def test_model_service_chunk(exported, volume, data_service, tmp_path):
                       size=(64, 64, 64), model_name="m1:v1", dest=str(dest))
         files = os.listdir(dest)
         assert len(files) == 1  # one 64^3 block
+        # block names carry start-glbstart offsets (reference :166-171)
+        assert files[0] == "64-128_64-128_64-128"
         raw = gzip.decompress(open(dest / files[0], "rb").read())
         block = np.frombuffer(raw, np.uint8).reshape(64, 64, 64)
-        assert block.std() > 0  # real prediction content
+        # must equal a locally-computed tiled prediction over the same data
+        from transfer_em_tpu.infer.tiling import predict_tiled
+        from transfer_em_tpu.native import gather_blocks
+
+        def fetch_tile(corner, insize):
+            return gather_blocks(volume, [corner], insize)[0]
+
+        want = predict_tiled(fetch_tile, lambda p, x: gen.apply(p, x), params,
+                             (64, 64, 64), (64, 64, 64), meta.outdimsize,
+                             meta.buffer, meta.meanstd_x, meta.meanstd_y)
+        np.testing.assert_array_equal(block, want)
     finally:
         svc.stop()
 

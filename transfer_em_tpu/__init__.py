@@ -12,6 +12,16 @@ Public surface mirrors the reference package:
 """
 
 from . import shapes
+from .config import CycleGANConfig, ExportMeta
 from .version import __version__
 
-__all__ = ["shapes", "__version__"]
+__all__ = ["shapes", "CycleGANConfig", "ExportMeta", "EM2EM", "__version__"]
+
+
+def __getattr__(name):
+    # Lazy: importing EM2EM pulls in jax/flax/optax/orbax; keep bare package
+    # import light for TF-free clients (serve.client, cli help).
+    if name == "EM2EM":
+        from .train.cgan import EM2EM
+        return EM2EM
+    raise AttributeError(name)

@@ -57,7 +57,7 @@ class ConvND(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 

@@ -44,6 +44,8 @@ class Discriminator(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         cd = self.compute_dtype
+        if cd is not None:
+            x = x.astype(cd)
         inp = x
 
         if self.is3d:
@@ -70,7 +72,7 @@ class Discriminator(nn.Module):
         x = ConvND(256 // self.wf, 1, compute_dtype=cd, name="head")(x)
         x = leaky_relu(x)
         x = ConvND(1, 1, use_bias=True, compute_dtype=cd, name="out")(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 def build_discriminator(is3d: bool = True, wf: int = 8, use_norm: bool = False,

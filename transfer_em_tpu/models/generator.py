@@ -49,6 +49,8 @@ class UNetGenerator(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         cd = self.compute_dtype
+        if cd is not None:
+            x = x.astype(cd)  # activations flow in compute_dtype end-to-end
         x = ConvND(64 // self.wf, 3, compute_dtype=cd, name="stem")(x)
         x = leaky_relu(x)
 
@@ -74,7 +76,7 @@ class UNetGenerator(nn.Module):
         x = ConvND(128 // self.wf, 3, compute_dtype=cd, name="head")(x)
         x = leaky_relu(x)
         x = ConvND(1, 3, compute_dtype=cd, name="out")(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 def build_generator(dimsize: int, is3d: bool = True, wf: int = 8,

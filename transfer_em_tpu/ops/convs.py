@@ -47,18 +47,25 @@ def conv_nd(x: jax.Array, kernel: jax.Array, *,
     """
     ndim = x.ndim - 2
     dn = _dim_numbers(ndim)
-    out_dtype = x.dtype
     if compute_dtype is not None:
+        # Mixed precision: both operands in compute_dtype; the output STAYS in
+        # compute_dtype so activations flow at low precision end-to-end (the
+        # model casts once at entry/exit).  No preferred_element_type here —
+        # f32-preferred output with bf16 inputs breaks jax's conv transpose
+        # (VJP) rule with a dtype mismatch; the MXU accumulates in f32
+        # internally regardless.
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
-    y = lax.conv_general_dilated(
+        return lax.conv_general_dilated(
+            x, kernel, window_strides=(stride,) * ndim, padding=padding,
+            dimension_numbers=dn)
+    return lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride,) * ndim,
         padding=padding,
         dimension_numbers=dn,
         preferred_element_type=jnp.float32,
     )
-    return y.astype(out_dtype)
 
 
 def same_transpose_padding(k: int, s: int) -> Tuple[int, int]:
@@ -94,11 +101,13 @@ def conv_transpose_nd(x: jax.Array, kernel: jax.Array, *,
     # Gradient-of-conv == forward conv on the s-dilated input with the
     # spatially-flipped kernel.
     flipped = jnp.flip(kernel, axis=tuple(range(ndim)))
-    out_dtype = x.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         flipped = flipped.astype(compute_dtype)
-    y = lax.conv_general_dilated(
+        return lax.conv_general_dilated(
+            x, flipped, window_strides=(1,) * ndim, padding=[pad] * ndim,
+            lhs_dilation=(stride,) * ndim, dimension_numbers=dn)
+    return lax.conv_general_dilated(
         x, flipped,
         window_strides=(1,) * ndim,
         padding=[pad] * ndim,
@@ -106,7 +115,6 @@ def conv_transpose_nd(x: jax.Array, kernel: jax.Array, *,
         dimension_numbers=dn,
         preferred_element_type=jnp.float32,
     )
-    return y.astype(out_dtype)
 
 
 def center_crop(x: jax.Array, crop: int | Sequence[int]) -> jax.Array:

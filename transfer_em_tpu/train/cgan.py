@@ -77,18 +77,24 @@ def create_state(config: CycleGANConfig, rng: jax.Array,
     sp_out = (shapes.out,) * (3 if config.is3d else 2)
     x = jnp.zeros((1,) + sp + (1,), jnp.float32)
     y = jnp.zeros((1,) + sp_out + (1,), jnp.float32)
-    k1, k2, k3, k4 = jax.random.split(rng, 4)
-    gg = gen.init(k1, x)
-    gf = gen.init(k2, x)
-    dx = disc_x.init(k3, y)
-    dy = disc_y.init(k4, y)
     opt = make_optimizer(config.learning_rate, config.adam_beta1)
-    return CycleGANState(
-        step=jnp.zeros((), jnp.int32),
-        gg=gg, gf=gf, dx=dx, dy=dy,
-        opt_gg=opt.init(gg), opt_gf=opt.init(gf),
-        opt_dx=opt.init(dx), opt_dy=opt.init(dy),
-    )
+
+    def _init(rng):
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        gg = gen.init(k1, x)
+        gf = gen.init(k2, x)
+        dx = disc_x.init(k3, y)
+        dy = disc_y.init(k4, y)
+        return CycleGANState(
+            step=jnp.zeros((), jnp.int32),
+            gg=gg, gf=gf, dx=dx, dy=dy,
+            opt_gg=opt.init(gg), opt_gf=opt.init(gf),
+            opt_dx=opt.init(dx), opt_dy=opt.init(dy),
+        )
+
+    # One jitted program: eager flax init is hundreds of small device ops,
+    # which is very slow on remotely-attached TPUs.
+    return jax.jit(_init)(rng)
 
 
 def cyclegan_losses(gen: UNetGenerator, disc_x: Discriminator,
