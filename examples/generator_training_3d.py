@@ -1,0 +1,47 @@
+"""Recipe 2: 3D CycleGAN training on streamed volumes (mirrors reference
+examples/generator_training3D.ipynb).
+
+Streams 74^3 crops from two neuroglancer-precomputed volumes (or DVID) with
+seeded ROI sampling, trains with augmentation, and builds a fixed seeded test
+set for repeatable eval — the determinism hooks from SURVEY.md §4.
+
+Run:  python examples/generator_training_3d.py <locationX> <locationY> [cloudrun]
+      (locations: 'bucket/path' for GCS tensorstore, 'file:///path' local,
+       or '/path/vol.npy' via the serve backend registry)
+"""
+
+import sys
+
+from transfer_em_tpu.data import (create_dataset_from_generator, volume3d_ng,
+                                  zip_datasets)
+from transfer_em_tpu.train import EM2EM
+
+DIM = 74
+BBOX = ((0, 0, 0), (512, 512, 512))
+
+
+def main(loc_x, loc_y, cloudrun=None, epochs=5):
+    src_x = volume3d_ng(loc_x, BBOX, size=DIM, seed=11, cloudrun=cloudrun)
+    src_y = volume3d_ng(loc_y, BBOX, size=DIM, seed=22, cloudrun=cloudrun)
+
+    ds_x, meanstd_x = create_dataset_from_generator(
+        src_x, batch_size=4, epoch_size=256, enable_augmentation=True)
+    ds_y, meanstd_y = create_dataset_from_generator(
+        src_y, batch_size=4, epoch_size=256, enable_augmentation=True)
+    print(f"meanstd_x={meanstd_x} meanstd_y={meanstd_y}")
+
+    # fixed seeded test set (same seed -> same ROIs every run)
+    test_src = volume3d_ng(loc_x, BBOX, size=DIM, seed=777, cloudrun=cloudrun)
+    test_ds, _ = create_dataset_from_generator(
+        test_src, batch_size=1, epoch_size=4, meanstd=meanstd_x)
+
+    model = EM2EM(DIM, "gen3d", is3d=True, wf=8, compute_dtype="bfloat16")
+    model.train(ds_x, ds_y, epochs=epochs, check_freq=1)
+
+    for batch in test_ds:
+        print("pred", model.predict(batch).shape)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2],
+         sys.argv[3] if len(sys.argv) > 3 else None)

@@ -1,0 +1,39 @@
+"""Recipe 3: export a trained generator and run tiled inference locally
+(mirrors reference examples/run_local_predict.ipynb).
+
+Run:  python examples/run_local_predict.py <ckpt_step> [exp_name]
+"""
+
+import sys
+
+import numpy as np
+
+from transfer_em_tpu.infer.export import (load_generator,
+                                          predict_cube_from_saved_model,
+                                          save_model)
+from transfer_em_tpu.infer.tiling import predict_tiled
+from transfer_em_tpu.native import gather_blocks
+
+
+def main(ckpt_step, exp_name="simple2d"):
+    # export generator G + meta.json (reference bin/save_model.py flow)
+    save_model("exported_" + exp_name, int(ckpt_step),
+               meanstd_x=(0.0, 1.0), meanstd_y=(0.0, 1.0),
+               size=74, is3d=True)
+
+    # local tiled inference over an in-memory volume
+    gen, params, meta = load_generator("exported_" + exp_name)
+    vol = np.random.default_rng(0).integers(0, 255, (256, 256, 256), np.uint8)
+
+    def fetch_tile(corner, insize):
+        return gather_blocks(vol, [corner], insize)[0]
+
+    out = predict_tiled(fetch_tile, lambda p, x: gen.apply(p, x), params,
+                        start=(64, 64, 64), size=(72, 72, 72),
+                        outdimsize=meta.outdimsize, buffer=meta.buffer,
+                        meanstd_x=meta.meanstd_x, meanstd_y=meta.meanstd_y)
+    print("tiled prediction:", out.shape, out.dtype)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], *(sys.argv[2:3]))

@@ -1,0 +1,86 @@
+"""Config round-trip, prior helper, plotting, metrics logging."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transfer_em_tpu.config import CycleGANConfig, ExportMeta
+from transfer_em_tpu.train import LOSS_NAMES, MetricsLogger, StepTimer
+
+
+def test_config_json_roundtrip():
+    cfg = CycleGANConfig(dimsize=78, is3d=False, wf=4, focal_gamma=3.0,
+                         compute_dtype="bfloat16", batch_size=16)
+    cfg2 = CycleGANConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+
+
+def test_export_meta_roundtrip():
+    m = ExportMeta(buffer=17, outdimsize=40, meanstd_x=(0.1, 0.2),
+                   meanstd_y=(0.3, 0.4))
+    m2 = ExportMeta.from_json(m.to_json())
+    assert m2 == m
+    # reference meta.json keys must be present (utils.py:158-166)
+    d = json.loads(m.to_json())
+    for k in ("buffer", "outdimsize", "meanstd_x", "meanstd_y"):
+        assert k in d
+
+
+def test_create_prior_helper(tmp_path):
+    from transfer_em_tpu.infer.export import export_generator
+    from transfer_em_tpu.models import UNetGenerator
+    from transfer_em_tpu.train import create_prior_helper
+
+    gen = UNetGenerator(wf=32)
+    x = jnp.zeros((1, 74, 74, 1))
+    params = gen.init(jax.random.PRNGKey(0), x)
+    meta = ExportMeta(buffer=17, outdimsize=40, meanstd_x=(0, 1),
+                      meanstd_y=(0, 1), dimsize=74, is3d=False, wf=32)
+    export_generator(params, meta, str(tmp_path / "m"))
+
+    prior = create_prior_helper(str(tmp_path / "m"), "down1")
+    out = prior(x)
+    # down1 of a 74 input: 34 spatial (shapes trace), 64//32=2 channels
+    assert out.shape == (1, 34, 34, 2)
+    # frozen: no gradient flows to the prior inputs... check stop_gradient
+    g = jax.grad(lambda v: jnp.sum(prior(v)))(x)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+    with pytest.raises(KeyError):
+        create_prior_helper(str(tmp_path / "m"), "nope")(x)
+
+
+def test_plot_models(tmp_path):
+    from transfer_em_tpu.train import EM2EM
+    model = EM2EM(74, "plot_test", is3d=False, wf=32,
+                  checkpoint_root=str(tmp_path / "ck"))
+    txt = tmp_path / "gen.txt"
+    model.plot_generator(str(txt))
+    content = open(txt).read()
+    assert "UNetGenerator" in content and "down1" in content
+    model.plot_discriminator(str(tmp_path / "disc.txt"))
+    assert "Discriminator" in open(tmp_path / "disc.txt").read()
+
+
+def test_metrics_logger(tmp_path):
+    p = str(tmp_path / "m.jsonl")
+    lg = MetricsLogger(p)
+    lg.log_epoch(1, np.arange(7, dtype=np.float32), 2.5, 10)
+    lg.log_epoch(2, np.arange(7, dtype=np.float32) * 2, 2.0, 10)
+    lg.close()
+    lines = [json.loads(l) for l in open(p)]
+    assert len(lines) == 2
+    assert lines[0]["epoch"] == 1
+    assert set(lines[0]["loss"].keys()) == set(LOSS_NAMES)
+    assert lines[1]["loss"]["cycle"] == 12.0
+
+
+def test_step_timer():
+    t = StepTimer()
+    t.start()
+    dt = t.stop()
+    assert dt >= 0 and t.ema is not None and t.items_per_sec > 0

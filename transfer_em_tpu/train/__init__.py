@@ -1,7 +1,10 @@
-from .cgan import EM2EM, build_models, create_state, cyclegan_losses, make_train_step
+from .cgan import (EM2EM, build_models, create_prior_helper, create_state,
+                   cyclegan_losses, make_train_step)
+from .metrics import LOSS_NAMES, MetricsLogger, StepTimer, profile_trace
 from .state import CycleGANState, make_optimizer
 
 __all__ = [
-    "EM2EM", "build_models", "create_state", "cyclegan_losses",
-    "make_train_step", "CycleGANState", "make_optimizer",
+    "EM2EM", "build_models", "create_prior_helper", "create_state",
+    "cyclegan_losses", "make_train_step", "CycleGANState", "make_optimizer",
+    "LOSS_NAMES", "MetricsLogger", "StepTimer", "profile_trace",
 ]

@@ -44,6 +44,37 @@ LossVector = jax.Array  # (7,) [g_gen_total, f_gen_total, disc_y, disc_x,
 #                              g_gen_only, f_gen_only, cycle]
 
 
+def create_prior_helper(model_dir: str, last_layer: str):
+    """Frozen feature extractor from an exported model's intermediate layer.
+
+    The reference loads a Keras .h5, truncates at ``layers[last_layer]``, and
+    marks it untrainable (cgan.py:21-29).  Here: load an exported generator
+    (infer/export.py) and return a callable tapping the named submodule's
+    output with stop_gradient — pass it as ``disc_prior``.
+
+    Args:
+      model_dir: exported model directory (generator.msgpack + meta.json).
+      last_layer: submodule name to tap, e.g. "down1", "down2", "mid".
+    """
+    from ..infer.export import load_generator
+
+    gen, params, meta = load_generator(model_dir)
+    frozen = jax.tree.map(jax.lax.stop_gradient, params)
+
+    def prior(x: jax.Array) -> jax.Array:
+        _, state = gen.apply(frozen, x, capture_intermediates=True)
+        inter = state["intermediates"]
+        if last_layer not in inter:
+            raise KeyError(
+                f"layer {last_layer!r} not in {sorted(inter.keys())}")
+        out = inter[last_layer]["__call__"][0]
+        if isinstance(out, tuple):  # DownBlock returns (down, skip)
+            out = out[0]
+        return jax.lax.stop_gradient(out)
+
+    return prior
+
+
 def _dtype(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
 
@@ -293,15 +324,22 @@ class EM2EM:
     def train(self, train_input: Iterable, train_target: Iterable,
               epochs: int = 3000, start: int = 0, debug: bool = False,
               sample=None, sample_gt=None, enable_eager: bool = False,
-              num_samples: int = 4096, check_freq: int = 1):
+              num_samples: int = 4096, check_freq: int = 1,
+              metrics_log: Optional[str] = None,
+              profile_dir: Optional[str] = None):
         """Main training loop (reference cgan.py:242-287).
 
         train_input / train_target: iterables of batches re-iterable per epoch
         (our data pipelines, or any pair of iterables of float batches).
         ``enable_eager`` maps to jax.disable_jit for debugging.
+        ``metrics_log``: JSONL path for per-epoch losses/timing.
+        ``profile_dir``: capture a jax.profiler trace of the run.
         """
+        from .metrics import MetricsLogger, profile_trace
+
+        logger = MetricsLogger(metrics_log)
         maybe_eager = jax.disable_jit if enable_eager else _nullcontext
-        with maybe_eager():
+        with maybe_eager(), profile_trace(profile_dir):
             for epoch in range(start, start + epochs):
                 t0 = time.time()
                 loss = np.zeros((7,), np.float32)
@@ -313,6 +351,7 @@ class EM2EM:
                     loss = loss / count
                 print(f"Epoch {epoch+1} loss [g_gen_total, f_gen_total, "
                       f"disc_y, disc_x, g_gen_only, f_gen_only, cycle]: {loss}")
+                logger.log_epoch(epoch + 1, loss, time.time() - t0, count)
 
                 if (epoch + 1) % check_freq == 0:
                     self.make_checkpoint(epoch + 1)
@@ -323,6 +362,39 @@ class EM2EM:
                             acc = float(L.rmse(gt_c[0], sample_pred[0]))
                             print(f"Accuracy on sample: {acc}")
                 print(f"Time taken for epoch {epoch+1} is {time.time()-t0}")
+        logger.close()
+
+    # ------------------------------------------------------------ inspection
+    def plot_generator(self, location: str):
+        """Write a generator architecture summary (reference cgan.py:237-240
+        used keras plot_model; here: flax tabulate to text, or a rendered
+        image when ``location`` ends with .png)."""
+        self._plot_model(self.gen, True, location)
+
+    def plot_discriminator(self, location: str):
+        """Discriminator summary (reference cgan.py:232-235)."""
+        self._plot_model(self.disc_x_model, False, location)
+
+    def _plot_model(self, module, is_gen: bool, location: str):
+        sp = (self.config.dimsize if is_gen else self.outdimsize,)
+        sp = sp * (3 if self.is3d else 2)
+        x = jnp.zeros((1,) + sp + (1,), jnp.float32)
+        import flax.linen as nn
+        table = nn.tabulate(module, jax.random.PRNGKey(0),
+                            console_kwargs={"width": 120})(x)
+        if location.endswith(".png"):
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            fig = plt.figure(figsize=(14, max(4, table.count("\n") * 0.22)))
+            fig.text(0.01, 0.99, table, family="monospace", fontsize=6,
+                     va="top")
+            plt.axis("off")
+            plt.savefig(location, dpi=150, bbox_inches="tight")
+            plt.close(fig)
+        else:
+            with open(location, "w") as f:
+                f.write(table)
 
     # --------------------------------------------------------------- predict
     def predict(self, data) -> jax.Array:
