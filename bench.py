@@ -57,11 +57,14 @@ def measure_jax(batch: int) -> float:
 
     for _ in range(WARMUP):
         state, loss = step(state, x, y, key)
-    jax.block_until_ready(loss)
+    np.asarray(loss)
+    # Barrier via value fetch: on remotely-attached TPUs block_until_ready
+    # can return before the dependency chain executes; np.asarray(loss) of
+    # the final step forces steps 1..N-1 (each consumes the prior state).
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, loss = step(state, x, y, key)
-    jax.block_until_ready(loss)
+    np.asarray(loss)
     dt = time.perf_counter() - t0
     return batch * STEPS / dt
 
@@ -99,7 +102,10 @@ def _measure_tf_reference_uncached() -> float:
 
     class SigmoidFocalCrossEntropy(tf.keras.losses.Loss):
         def __init__(self, from_logits=False, alpha=0.25, gamma=2.0,
-                     reduction=tf.keras.losses.Reduction.AUTO, **kw):
+                     reduction="sum_over_batch_size", **kw):
+            # Keras 3 dropped Reduction.AUTO; it meant SUM_OVER_BATCH_SIZE.
+            if str(reduction).lower() == "auto":
+                reduction = "sum_over_batch_size"
             super().__init__(reduction=reduction)
             self.from_logits = from_logits
             self.alpha = alpha

@@ -29,6 +29,41 @@ import numpy as np
 BBox = Tuple[Tuple[int, int, int], Tuple[int, int, int]]
 
 
+def host_sharded_seed(seed: Optional[int]) -> Optional[int]:
+    """Derive a per-host seed so multi-host training samples disjoint ROI
+    streams reproducibly (SURVEY.md §7 "per-host sharded ROI sampling").
+
+    Same seed + same process count -> same global sample set, partitioned.
+    """
+    if seed is None:
+        return None
+    import jax
+    return seed * 1_000_003 + jax.process_index()
+
+
+def with_retries(fetch: Callable, attempts: int = 3,
+                 backoff: float = 0.5) -> Callable:
+    """Wrap a fetcher with bounded retry + exponential backoff.
+
+    Generalizes the reference's ad-hoc single retry on stale Cloud Run tokens
+    (generators.py:147-153) to all transports.
+    """
+    import time as _time
+
+    def wrapped(*args, **kwargs):
+        err = None
+        for i in range(attempts):
+            try:
+                return fetch(*args, **kwargs)
+            except Exception as e:  # noqa: BLE001 — transport errors vary
+                err = e
+                if i + 1 < attempts:
+                    _time.sleep(backoff * (2 ** i))
+        raise err
+
+    return wrapped
+
+
 # --------------------------------------------------------------------- DVID
 
 def fetch_raw_dvid(server: str, uuid: str, instance: str, box_zyx,
@@ -115,12 +150,19 @@ def _parallel_fetch(corners: Iterator[Tuple[int, int, int]],
 def volume3d_dvid(dvid_server: str, uuid: str, instance: str,
                   bbox: Optional[BBox] = None, size: int = 132,
                   seed: Optional[int] = None, array=None,
-                  num_threads: int = 8) -> Callable[[], Iterator[np.ndarray]]:
+                  num_threads: int = 8, retries: int = 3,
+                  shard_by_host: bool = False
+                  ) -> Callable[[], Iterator[np.ndarray]]:
     """Iterator factory over uint8 ``size``^3 cubes from DVID
     (reference generators.py:12-56).  Pass to
     ``create_dataset_from_generator``.
+
+    shard_by_host: derive a per-host seed for multi-host training.
     """
     import requests
+
+    if shard_by_host:
+        seed = host_sharded_seed(seed)
 
     def make_iter() -> Iterator[np.ndarray]:
         session_local = threading_local_sessions(requests)
@@ -133,7 +175,8 @@ def volume3d_dvid(dvid_server: str, uuid: str, instance: str,
                 session_local())
 
         corners = corner_stream(bbox, size, seed, array)
-        return _parallel_fetch(corners, fetch, num_threads)
+        return _parallel_fetch(corners, with_retries(fetch, retries),
+                               num_threads)
 
     return make_iter
 
@@ -224,12 +267,17 @@ def volume3d_ng(location: str, bbox: Optional[BBox] = None, size: int = 132,
                 seed: Optional[int] = None, array=None,
                 cloudrun: Optional[str] = None,
                 sample_array: bool = False, sample_class: bool = False,
-                num_threads: int = 8) -> Callable[[], Iterator[np.ndarray]]:
+                num_threads: int = 8, retries: int = 3,
+                shard_by_host: bool = False
+                ) -> Callable[[], Iterator[np.ndarray]]:
     """Iterator factory over uint8 cubes from ng-precomputed
     (reference generators.py:59-165).
 
     Transports: local tensorstore (cloudrun=None) or Cloud Run HTTP proxy.
+    shard_by_host: derive a per-host seed for multi-host training.
     """
+    if shard_by_host:
+        seed = host_sharded_seed(seed)
     if cloudrun is None:
         ds = open_tensorstore(location)
 
@@ -246,6 +294,7 @@ def volume3d_ng(location: str, bbox: Optional[BBox] = None, size: int = 132,
     def make_iter() -> Iterator[np.ndarray]:
         corners = corner_stream(bbox, size, seed, array, sample_array,
                                 sample_class)
-        return _parallel_fetch(corners, fetch, num_threads)
+        return _parallel_fetch(corners, with_retries(fetch, retries),
+                               num_threads)
 
     return make_iter
