@@ -104,7 +104,7 @@ def test_gradients_match_four_tape(setup):
 
     combined = lambda gg, gf, dx, dy: cyclegan_losses(
         gen, disc_x, disc_y, buffer, cfg.focal_gamma,
-        gg, gf, dx, dy, x, y, rng)
+        gg, gf, dx, dy, x, y, rng, batched_apps=False)
     grads, _ = jax.grad(combined, argnums=(0, 1, 2, 3), has_aux=True)(
         state.gg, state.gf, state.dx, state.dy)
 
@@ -117,6 +117,32 @@ def test_gradients_match_four_tape(setup):
         for a, b in zip(got_flat, want_flat):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-6, err_msg=name)
+
+
+def test_batched_apps_equivalent_when_deterministic(setup):
+    """Batched model applications (4 big forwards) == the reference's 6
+    separate applications — exactly, for values AND gradients — when dropout
+    is off (with dropout on, only the mask draw differs)."""
+    cfg, gen, disc_x, disc_y, state, x, y = setup
+    buffer = generator_shapes(cfg.dimsize).buffer
+    rng = jax.random.PRNGKey(3)
+
+    def make(batched):
+        return lambda gg, gf, dx, dy: cyclegan_losses(
+            gen, disc_x, disc_y, buffer, cfg.focal_gamma,
+            gg, gf, dx, dy, x, y, rng, batched_apps=batched,
+            deterministic=True)
+
+    (gb, vb) = jax.grad(make(True), argnums=(0, 1, 2, 3), has_aux=True)(
+        state.gg, state.gf, state.dx, state.dy)
+    (gu, vu) = jax.grad(make(False), argnums=(0, 1, 2, 3), has_aux=True)(
+        state.gg, state.gf, state.dx, state.dy)
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(vu),
+                               rtol=1e-5, atol=1e-7)
+    for tb, tu in zip(gb, gu):
+        for a, b in zip(jax.tree.leaves(tb), jax.tree.leaves(tu)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-7)
 
 
 def test_loss_vector_matches_reference_structure(setup):

@@ -1,10 +1,10 @@
-from .dp import make_dp_train_step, shard_batch, shard_state
+from .dp import host_local_batch, make_dp_train_step, shard_batch, shard_state
 from .halo import halo_predict, halo_predict_fn
 from .mesh import (DATA_AXIS, SPACE_AXIS, batch_sharding, make_mesh,
                    replicated, space_sharding)
 
 __all__ = [
-    "make_dp_train_step", "shard_batch", "shard_state",
+    "host_local_batch", "make_dp_train_step", "shard_batch", "shard_state",
     "halo_predict", "halo_predict_fn",
     "DATA_AXIS", "SPACE_AXIS", "batch_sharding", "make_mesh", "replicated",
     "space_sharding",

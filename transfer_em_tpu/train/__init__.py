@@ -1,5 +1,5 @@
-from .cgan import (EM2EM, build_models, create_prior_helper, create_state,
-                   cyclegan_losses, make_train_step)
+from .cgan import (EM2EM, build_models, build_step_fn, create_prior_helper,
+                   create_state, cyclegan_losses, make_train_step)
 from .metrics import LOSS_NAMES, MetricsLogger, StepTimer, profile_trace
 from .state import CycleGANState, make_optimizer
 

@@ -132,9 +132,19 @@ def cyclegan_losses(gen: UNetGenerator, disc_x: Discriminator,
                     disc_y: Discriminator, buffer: int, gamma: float,
                     gg, gf, dx, dy,
                     real_x: jax.Array, real_y: jax.Array,
-                    rng: jax.Array) -> Tuple[jax.Array, LossVector]:
+                    rng: jax.Array, *,
+                    batched_apps: bool = True,
+                    deterministic: bool = False) -> Tuple[jax.Array, LossVector]:
     """One combined scalar whose per-subtree gradients equal the reference's
     four ``tape.gradient`` calls (cgan.py:144-215).  See module docstring.
+
+    batched_apps: stack the independent applications of each network into
+    one larger-batch forward (6 generator applies -> 4, at up to 2x batch)
+    — same math, fewer/larger kernels on the MXU.  False reproduces the
+    reference's application-by-application structure (used by the
+    gradient-equivalence test).
+    deterministic: disable dropout (testing only; training always uses
+    dropout like the reference's training=True calls, cgan.py:152).
 
     Returns (combined_scalar, loss_vector_7).
     """
@@ -142,38 +152,57 @@ def cyclegan_losses(gen: UNetGenerator, disc_x: Discriminator,
     dx_f = jax.tree.map(sg, dx)  # frozen discs for adversarial gen terms
     dy_f = jax.tree.map(sg, dy)
     ks = jax.random.split(rng, 6)
+    B = real_x.shape[0]
 
     def g(params, x, k):
+        if deterministic:
+            return gen.apply(params, x)
         return gen.apply(params, x, deterministic=False, rngs={"dropout": k})
 
-    # --- forwards (reference cgan.py:152-189; 6 gen + 4 disc applications) ---
-    fake_y = g(gg, real_x, ks[0])
-    fake_y_pad = zero_pad(fake_y, buffer)
-    cycled_x = g(gf, fake_y_pad, ks[1])
-    cycled_x_c = center_crop(cycled_x, buffer)
+    real_x_c = center_crop(real_x, buffer)
+    real_y_c = center_crop(real_y, buffer)
     real_x_c2 = center_crop(real_x, buffer * 2)
-
-    fake_x = g(gf, real_y, ks[2])
-    fake_x_pad = zero_pad(fake_x, buffer)
-    cycled_y = g(gg, fake_x_pad, ks[3])
-    cycled_y_c = center_crop(cycled_y, buffer)
     real_y_c2 = center_crop(real_y, buffer * 2)
 
-    same_x = g(gf, real_x, ks[4])
-    real_x_c = center_crop(real_x, buffer)
-    same_y = g(gg, real_y, ks[5])
-    real_y_c = center_crop(real_y, buffer)
+    if batched_apps:
+        # Round 1: everything derivable from the real images, one apply per
+        # network at batch 2B.
+        out_g1 = g(gg, jnp.concatenate([real_x, real_y], 0), ks[0])
+        fake_y, same_y = out_g1[:B], out_g1[B:]
+        out_f1 = g(gf, jnp.concatenate([real_y, real_x], 0), ks[1])
+        fake_x, same_x = out_f1[:B], out_f1[B:]
+        # Round 2: the cycles.
+        cycled_y = g(gg, zero_pad(fake_x, buffer), ks[2])
+        cycled_x = g(gf, zero_pad(fake_y, buffer), ks[3])
+    else:
+        # Reference structure: 6 separate generator applications
+        # (cgan.py:152-183).
+        fake_y = g(gg, real_x, ks[0])
+        cycled_x = g(gf, zero_pad(fake_y, buffer), ks[1])
+        fake_x = g(gf, real_y, ks[2])
+        cycled_y = g(gg, zero_pad(fake_x, buffer), ks[3])
+        same_x = g(gf, real_x, ks[4])
+        same_y = g(gg, real_y, ks[5])
 
-    disc_real_x = disc_x.apply(dx, real_x_c)
-    disc_real_y = disc_y.apply(dy, real_y_c)
-    # Fakes enter the disc twice semantically: once for the generators'
+    cycled_x_c = center_crop(cycled_x, buffer)
+    cycled_y_c = center_crop(cycled_y, buffer)
+
+    # Fakes enter each disc twice semantically: once for the generators'
     # adversarial losses (grad -> generator, disc frozen), once for the
-    # discriminator losses (grad -> disc, fake detached).  Forward values are
-    # identical; XLA CSEs the duplicate computation.
+    # discriminator losses (grad -> disc, fake detached).  Forward values
+    # are identical; XLA CSEs the duplicate computation.
+    if batched_apps:
+        out_dx = disc_x.apply(dx, jnp.concatenate([real_x_c, sg(fake_x)], 0))
+        disc_real_x, disc_fake_x_d = out_dx[:B], out_dx[B:]
+        out_dy = disc_y.apply(dy, jnp.concatenate([real_y_c, sg(fake_y)], 0))
+        disc_real_y, disc_fake_y_d = out_dy[:B], out_dy[B:]
+    else:
+        disc_real_x = disc_x.apply(dx, real_x_c)
+        disc_real_y = disc_y.apply(dy, real_y_c)
+        disc_fake_x_d = disc_x.apply(dx, sg(fake_x))
+        disc_fake_y_d = disc_y.apply(dy, sg(fake_y))
     disc_fake_x_gen = disc_x.apply(dx_f, fake_x)
     disc_fake_y_gen = disc_y.apply(dy_f, fake_y)
-    disc_fake_x_d = disc_x.apply(dx, sg(fake_x))
-    disc_fake_y_d = disc_y.apply(dy, sg(fake_y))
 
     # --- losses (reference cgan.py:192-203) ---
     gen_g_loss = L.generator_adv_loss(disc_fake_y_gen, gamma=gamma)
@@ -196,6 +225,44 @@ def cyclegan_losses(gen: UNetGenerator, disc_x: Discriminator,
     return combined, loss_vec
 
 
+def build_step_fn(config: CycleGANConfig,
+                  disc_prior: Optional[Callable] = None,
+                  batched_apps: bool = True) -> Callable:
+    """The pure (un-jitted) train step: (state, real_x, real_y, rng) ->
+    (state, loss7).  make_train_step jits it plain; parallel.dp jits it with
+    mesh shardings."""
+    gen, disc_x, disc_y = build_models(config, disc_prior)
+    buffer = generator_shapes(config.dimsize).buffer
+    gamma = config.focal_gamma
+    opt = make_optimizer(config.learning_rate, config.adam_beta1)
+
+    loss_fn = functools.partial(cyclegan_losses, gen, disc_x, disc_y,
+                                buffer, gamma, batched_apps=batched_apps)
+
+    def step(state: CycleGANState, real_x, real_y, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grads, loss_vec = jax.grad(
+            lambda gg, gf, dx, dy: loss_fn(gg, gf, dx, dy, real_x, real_y, rng),
+            argnums=(0, 1, 2, 3), has_aux=True,
+        )(state.gg, state.gf, state.dx, state.dy)
+
+        params = (state.gg, state.gf, state.dx, state.dy)
+        opts = (state.opt_gg, state.opt_gf, state.opt_dx, state.opt_dy)
+        new_params, new_opts = [], []
+        for p, o, g in zip(params, opts, grads):
+            up, o2 = opt.update(g, o, p)
+            new_params.append(jax.tree.map(lambda a, b: a + b, p, up))
+            new_opts.append(o2)
+        return CycleGANState(
+            step=state.step + 1,
+            gg=new_params[0], gf=new_params[1], dx=new_params[2],
+            dy=new_params[3],
+            opt_gg=new_opts[0], opt_gf=new_opts[1], opt_dx=new_opts[2],
+            opt_dy=new_opts[3]), loss_vec
+
+    return step
+
+
 def make_train_step(config: CycleGANConfig,
                     disc_prior: Optional[Callable] = None,
                     donate: bool = True):
@@ -204,36 +271,7 @@ def make_train_step(config: CycleGANConfig,
     real_x / real_y: scaled+standardized float batches, shape
     (B, *spatial(dimsize), 1), like reference train_step (cgan.py:144).
     """
-    gen, disc_x, disc_y = build_models(config, disc_prior)
-    buffer = generator_shapes(config.dimsize).buffer
-    gamma = config.focal_gamma
-    opt = make_optimizer(config.learning_rate, config.adam_beta1)
-
-    loss_fn = functools.partial(cyclegan_losses, gen, disc_x, disc_y,
-                                buffer, gamma)
-
-    def step(state: CycleGANState, real_x, real_y, rng):
-        rng = jax.random.fold_in(rng, state.step)
-        grads, loss_vec = jax.grad(
-            lambda gg, gf, dx, dy: loss_fn(gg, gf, dx, dy, real_x, real_y, rng),
-            argnums=(0, 1, 2, 3), has_aux=True,
-        )(state.gg, state.gf, state.dx, state.dy)
-        g_gg, g_gf, g_dx, g_dy = grads
-
-        up, o_gg = opt.update(g_gg, state.opt_gg, state.gg)
-        gg = jax.tree.map(lambda p, u: p + u, state.gg, up)
-        up, o_gf = opt.update(g_gf, state.opt_gf, state.gf)
-        gf = jax.tree.map(lambda p, u: p + u, state.gf, up)
-        up, o_dx = opt.update(g_dx, state.opt_dx, state.dx)
-        dx = jax.tree.map(lambda p, u: p + u, state.dx, up)
-        up, o_dy = opt.update(g_dy, state.opt_dy, state.dy)
-        dy = jax.tree.map(lambda p, u: p + u, state.dy, up)
-
-        new_state = CycleGANState(
-            step=state.step + 1, gg=gg, gf=gf, dx=dx, dy=dy,
-            opt_gg=o_gg, opt_gf=o_gf, opt_dx=o_dx, opt_dy=o_dy)
-        return new_state, loss_vec
-
+    step = build_step_fn(config, disc_prior)
     donate_argnums = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
 
