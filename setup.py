@@ -20,6 +20,8 @@ setup(
     entry_points={
         "console_scripts": [
             "tem-save-model=transfer_em_tpu.cli.save_model:main",
+            "tem-data-service=transfer_em_tpu.serve.data_service:main",
+            "tem-model-service=transfer_em_tpu.serve.model_service:main",
         ],
     },
 )
