@@ -38,6 +38,10 @@ class ConvND(nn.Module):
     """VALID/SAME N-D conv, channels last, TF-style init.
 
     Kernel stored as (*spatial, Cin, Cout).
+
+    fast_conv: on TPU in bf16 compute mode, route eligible 3x3x3 stride-1
+    VALID convs through the Pallas Toeplitz-GEMM kernel
+    (ops/pallas_conv.py; ~2x over lax.conv at these channel widths).
     """
 
     features: int
@@ -46,14 +50,25 @@ class ConvND(nn.Module):
     padding: str = "VALID"
     use_bias: bool = False
     compute_dtype: Optional[jnp.dtype] = None
+    fast_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         ndim = x.ndim - 2
         kshape = (self.kernel_size,) * ndim + (x.shape[-1], self.features)
         kernel = self.param("kernel", WEIGHT_INIT, kshape, jnp.float32)
-        y = conv_nd(x, kernel, stride=self.stride, padding=self.padding,
-                    compute_dtype=self.compute_dtype)
+        y = None
+        if (self.fast_conv and self.compute_dtype == jnp.bfloat16
+                and self.kernel_size == 3 and self.stride == 1
+                and self.padding == "VALID" and ndim == 3
+                and jax.default_backend() == "tpu"):
+            from ..ops import pallas_conv
+            if pallas_conv.supported(x.shape, kshape):
+                y = pallas_conv.tconv3_op(x.astype(jnp.bfloat16),
+                                          kernel.astype(jnp.bfloat16))
+        if y is None:
+            y = conv_nd(x, kernel, stride=self.stride, padding=self.padding,
+                        compute_dtype=self.compute_dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)
@@ -113,11 +128,12 @@ class DownBlock(nn.Module):
     features: int
     use_norm: bool = False
     compute_dtype: Optional[jnp.dtype] = None
+    fast_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
         y = ConvND(self.features, 3, compute_dtype=self.compute_dtype,
-                   name="conv")(x)
+                   fast_conv=self.fast_conv, name="conv")(x)
         if self.use_norm:
             y = InstanceNorm(name="norm1")(y)
         skip = leaky_relu(y)
@@ -137,11 +153,12 @@ class UpBlock(nn.Module):
     use_norm: bool = False
     apply_dropout: bool = True
     compute_dtype: Optional[jnp.dtype] = None
+    fast_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         y = ConvND(self.features * 2, 3, compute_dtype=self.compute_dtype,
-                   name="conv")(x)
+                   fast_conv=self.fast_conv, name="conv")(x)
         if self.use_norm:
             y = InstanceNorm(name="norm1")(y)
         y = leaky_relu(y)

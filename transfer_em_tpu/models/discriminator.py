@@ -40,6 +40,7 @@ class Discriminator(nn.Module):
     use_norm: bool = False
     compute_dtype: Optional[jnp.dtype] = None
     disc_prior: Optional[Callable[[jax.Array], jax.Array]] = None
+    fast_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -48,17 +49,20 @@ class Discriminator(nn.Module):
             x = x.astype(cd)
         inp = x
 
+        fc = self.fast_conv
         if self.is3d:
             down1, _ = DownBlock(64 // self.wf, use_norm=False,
-                                 compute_dtype=cd, name="down1")(x)
-            h = ConvND(16, 3, compute_dtype=cd, name="hack")(down1)
+                                 compute_dtype=cd, fast_conv=fc,
+                                 name="down1")(x)
+            h = ConvND(16, 3, compute_dtype=cd, fast_conv=fc,
+                       name="hack")(down1)
         else:
             # 2D HACK path: conv on the raw input; down1 never contributes.
             h = ConvND(16, 3, compute_dtype=cd, name="hack")(x)
         h = leaky_relu(h)
 
         down2, _ = DownBlock(256 // self.wf, use_norm=self.use_norm,
-                             compute_dtype=cd, name="down2")(h)
+                             compute_dtype=cd, fast_conv=fc, name="down2")(h)
         x = down2
 
         if self.disc_prior is not None:
@@ -66,7 +70,7 @@ class Discriminator(nn.Module):
             x = jnp.concatenate([x, x2], axis=-1)
 
         down3, _ = DownBlock(32, use_norm=False, compute_dtype=cd,
-                             name="down3")(x)
+                             fast_conv=fc, name="down3")(x)
         x = leaky_relu(down3)  # reference applies LeakyReLU twice here
 
         x = ConvND(256 // self.wf, 1, compute_dtype=cd, name="head")(x)

@@ -45,37 +45,45 @@ class UNetGenerator(nn.Module):
     wf: int = 8
     use_norm: bool = False
     compute_dtype: Optional[jnp.dtype] = None
+    fast_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         cd = self.compute_dtype
         if cd is not None:
             x = x.astype(cd)  # activations flow in compute_dtype end-to-end
-        x = ConvND(64 // self.wf, 3, compute_dtype=cd, name="stem")(x)
+        fc = self.fast_conv
+        x = ConvND(64 // self.wf, 3, compute_dtype=cd, fast_conv=fc,
+                   name="stem")(x)
         x = leaky_relu(x)
 
         down1, skip0 = DownBlock(64 // self.wf, use_norm=False,
-                                 compute_dtype=cd, name="down1")(x)
+                                 compute_dtype=cd, fast_conv=fc,
+                                 name="down1")(x)
         down2, skip1 = DownBlock(128 // self.wf, use_norm=self.use_norm,
-                                 compute_dtype=cd, name="down2")(down1)
+                                 compute_dtype=cd, fast_conv=fc,
+                                 name="down2")(down1)
 
         up1 = UpBlock(128 // self.wf, use_norm=self.use_norm,
-                      compute_dtype=cd, name="up1")(
+                      compute_dtype=cd, fast_conv=fc, name="up1")(
                           down2, deterministic=deterministic)
         skip1c = crop_to_match(skip1, up1)
         x = jnp.concatenate([up1, skip1c], axis=-1)
 
-        x = ConvND(256 // self.wf, 3, compute_dtype=cd, name="mid")(x)
+        x = ConvND(256 // self.wf, 3, compute_dtype=cd, fast_conv=fc,
+                   name="mid")(x)
         x = leaky_relu(x)
 
         up0 = UpBlock(64 // self.wf, use_norm=self.use_norm,
-                      compute_dtype=cd, name="up0")(x, deterministic=deterministic)
+                      compute_dtype=cd, fast_conv=fc,
+                      name="up0")(x, deterministic=deterministic)
         skip0c = crop_to_match(skip0, up0)
         x = jnp.concatenate([up0, skip0c], axis=-1)
 
-        x = ConvND(128 // self.wf, 3, compute_dtype=cd, name="head")(x)
+        x = ConvND(128 // self.wf, 3, compute_dtype=cd, fast_conv=fc,
+                   name="head")(x)
         x = leaky_relu(x)
-        x = ConvND(1, 3, compute_dtype=cd, name="out")(x)
+        x = ConvND(1, 3, compute_dtype=cd, fast_conv=fc, name="out")(x)
         return x.astype(jnp.float32)
 
 

@@ -40,14 +40,13 @@ LANE = 128
 
 
 def supported(x_shape: Tuple[int, ...], w_shape: Tuple[int, ...]) -> bool:
-    """3D, k=3, stride 1, C in {8,16,32}, spatial big enough."""
+    """3D, k=3, stride 1, C a power of two <= 32, spatial big enough."""
     if len(x_shape) != 5 or len(w_shape) != 5:
         return False
-    k = w_shape[0]
     c = x_shape[-1]
     if w_shape[:3] != (3, 3, 3) or w_shape[3] != c:
         return False
-    if c not in (8, 16, 32):
+    if c not in (1, 2, 4, 8, 16, 32):
         return False
     d, h, w = x_shape[1:4]
     wt = LANE // c - 2
@@ -67,23 +66,29 @@ def _build_toeplitz(w: jax.Array, wt: int) -> jax.Array:
     return bt.reshape(9 * (wt + 2) * c, wt * o)
 
 
-def _tconv3_kernel(oh: int, nw: int, wt: int, c: int,
-                   x_ref, b_ref, o_ref, a_ref):
-    """One (batch, d_out) program: build A, one GEMM.
+def _tconv3_kernel(oh: int, nw: int, wt: int, c: int, h8: int, wcp: int,
+                   x_hbm, b_ref, o_ref, xs_ref, a_ref, sem):
+    """One (batch, d_out) program: DMA the 3-slab window, build A, one GEMM.
 
-    x_ref: (1, 3, H, Wp*C)  reshaped input slab (lane dim = w*C)
-    b_ref: (9*128, wt*O)    Toeplitz weights
-    o_ref: (1, nw*oh, wt*O) output rows (wb-major, then h)
-    a_ref: (nw*oh, 9*128)   scratch
+    x_hbm:  (B, D, H, Wp*C)  reshaped input, stays in HBM/ANY
+    b_ref:  (9*128, wt*O)    Toeplitz weights (VMEM)
+    o_ref:  (1, 1, nw*oh, wt*O) output rows (wb-major, then h)
+    xs_ref: (1, 3, H, Wp*C)  VMEM scratch for the overlapping d-window
+    a_ref:  (nw*oh, 9*128)   VMEM scratch (the patch matrix)
     """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(x_hbm.at[pl.ds(b, 1), pl.ds(i, 3)], xs_ref, sem)
+    cp.start()
+    cp.wait()
     for kd in range(3):
         for kh in range(3):
             col = (kd * 3 + kh) * LANE
             for wb in range(nw):
                 a_ref[wb * oh:(wb + 1) * oh, col:col + LANE] = \
-                    x_ref[0, kd, kh:kh + oh, wb * wt * c:wb * wt * c + LANE]
-    o_ref[0] = jnp.dot(a_ref[:], b_ref[:],
-                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+                    xs_ref[0, kd, kh:kh + oh, wb * wt * c:wb * wt * c + LANE]
+    o_ref[0, 0] = jnp.dot(a_ref[:], b_ref[:],
+                          preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def tconv3(x: jax.Array, w: jax.Array) -> jax.Array:
@@ -105,24 +110,33 @@ def tconv3(x: jax.Array, w: jax.Array) -> jax.Array:
     if wp > wdim:
         xb = jnp.pad(xb, ((0, 0), (0, 0), (0, 0), (0, wp - wdim), (0, 0)))
     x2 = xb.reshape(bsz, d, h, wp * c)
+    # Mosaic DMA slices must align to the (8, 128) tile: pad H to 8 and the
+    # lane dim to 128; the kernel DMAs full padded trailing dims.
+    h8 = -(-h // 8) * 8
+    wcp = -(-(wp * c) // LANE) * LANE
+    x2 = jnp.pad(x2, ((0, 0), (0, 0), (0, h8 - h), (0, wcp - wp * c)))
 
     bt = _build_toeplitz(w, wt)
 
-    kern = functools.partial(_tconv3_kernel, oh, nw, wt, c)
+    kern = functools.partial(_tconv3_kernel, oh, nw, wt, c, h8, wcp)
     out = pl.pallas_call(
         kern,
         grid=(bsz, od),
         in_specs=[
-            pl.BlockSpec((1, 3, h, wp * c), lambda b, i: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x2 stays in HBM; DMA'd
             pl.BlockSpec((9 * LANE, wt * o), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, nw * oh, wt * o), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, 1, nw * oh, wt * o),
+                               lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, od, nw * oh, wt * o),
                                        jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((nw * oh, 9 * LANE), jnp.bfloat16)],
+        scratch_shapes=[
+            pltpu.VMEM((1, 3, h8, wcp), jnp.bfloat16),
+            pltpu.VMEM((nw * oh, 9 * LANE), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=jax.default_backend() != "tpu",
     )(x2, bt)
 
