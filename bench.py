@@ -149,12 +149,13 @@ def _measure_tf_reference_uncached() -> float:
 
 
 def main():
-    for batch in (16, 8, 4, 2, 1):
+    for batch in (32, 16, 8, 4, 2, 1):
         try:
             tiles_per_sec = measure_jax(batch)
             break
         except Exception as e:
-            if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+            msg = str(e).lower()
+            if "resource" in msg and "exhausted" in msg or "out of memory" in msg or "oom" in msg:
                 print(f"# batch {batch} OOM, retrying smaller", file=sys.stderr)
                 continue
             raise
