@@ -149,7 +149,7 @@ def _measure_tf_reference_uncached() -> float:
 
 
 def main():
-    for batch in (32, 16, 8, 4, 2, 1):
+    for batch in (128, 64, 32, 16, 8, 4, 2, 1):
         try:
             tiles_per_sec = measure_jax(batch)
             break

@@ -101,9 +101,7 @@ class NgOutputPredictor(TransferEMPredictor):
             from .model_service import BlockWriter
             writer = BlockWriter(dest)
             write_ng_info(dest, size_xyz, writer.write)
-            scale_writer = BlockWriter(dest + "/64_64_64")
             write_ng_blocks(vol_zyx, dest + "/64_64_64", (0, 0, 0))
-            del scale_writer
         else:
             os.makedirs(dest, exist_ok=True)
             write_ng_info(dest, size_xyz,
