@@ -24,6 +24,7 @@ class CycleGANConfig:
     learning_rate: float = 2e-4
     adam_beta1: float = 0.5
     compute_dtype: str = "float32"  # "bfloat16" for full MXU rate on TPU
+    fast_conv: bool = False         # experimental Pallas Toeplitz conv (PERF.md)
     # dataset knobs (reference datasets.py:10-12)
     batch_size: int = 64
     epoch_size: int = 4096

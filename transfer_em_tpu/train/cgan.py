@@ -86,12 +86,15 @@ def build_models(config: CycleGANConfig,
     cd = _dtype(config.compute_dtype)
     if cd == jnp.float32:
         cd = None
-    gen = UNetGenerator(wf=config.wf, use_norm=config.use_norm, compute_dtype=cd)
+    fc = config.fast_conv
+    gen = UNetGenerator(wf=config.wf, use_norm=config.use_norm,
+                        compute_dtype=cd, fast_conv=fc)
     disc_x = Discriminator(is3d=config.is3d, wf=config.wf,
-                           use_norm=config.use_norm, compute_dtype=cd)
+                           use_norm=config.use_norm, compute_dtype=cd,
+                           fast_conv=fc)
     disc_y = Discriminator(is3d=config.is3d, wf=config.wf,
                            use_norm=config.use_norm, compute_dtype=cd,
-                           disc_prior=disc_prior)
+                           disc_prior=disc_prior, fast_conv=fc)
     return gen, disc_x, disc_y
 
 
@@ -382,9 +385,20 @@ class EM2EM:
                 t0 = time.time()
                 loss = np.zeros((7,), np.float32)
                 count = 0
+                pbar = None
+                if debug:
+                    try:  # progress bar (reference cgan.py:256-262)
+                        import tqdm
+                        pbar = tqdm.tqdm(total=num_samples)
+                    except ImportError:
+                        pass
                 for data_f, data_g in zip(train_input, train_target):
                     loss = loss + np.asarray(self.train_step(data_f, data_g))
                     count += 1
+                    if pbar is not None:
+                        pbar.update(1)
+                if pbar is not None:
+                    pbar.close()
                 if count:
                     loss = loss / count
                 print(f"Epoch {epoch+1} loss [g_gen_total, f_gen_total, "
