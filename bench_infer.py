@@ -23,7 +23,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from transfer_em_tpu.infer.device_stitch import device_predict_tiled
+    from transfer_em_tpu.infer.slab import slab_predict
     from transfer_em_tpu.models import UNetGenerator
 
     gen = UNetGenerator(wf=8, compute_dtype=jnp.bfloat16)
@@ -37,12 +37,10 @@ def main():
     ms = (0.05, 0.9)
 
     t0 = time.perf_counter()
-    out = device_predict_tiled(vol, apply_fn, params, (20, 20, 20), size,
-                               40, 17, ms, ms, batch_size=32)
+    out = slab_predict(vol, apply_fn, params, (20, 20, 20), size, ms, ms)
     warm = time.perf_counter() - t0  # includes compile
     t0 = time.perf_counter()
-    out = device_predict_tiled(vol, apply_fn, params, (20, 20, 20), size,
-                               40, 17, ms, ms, batch_size=32)
+    out = slab_predict(vol, apply_fn, params, (20, 20, 20), size, ms, ms)
     dt = time.perf_counter() - t0
     mvox = out.size / dt / 1e6
     print(f"# warm(compile) {warm:.1f}s, steady {dt:.2f}s", file=sys.stderr)

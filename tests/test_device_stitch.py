@@ -44,3 +44,36 @@ def test_device_stitch_single_tile(setup):
                                (36, 36, 36), 40, 17, (0, 1), (0, 1),
                                batch_size=8)
     assert got.shape == (36, 36, 36)
+
+
+def test_slab_predict_matches_whole_shot(setup):
+    """Slab inference == one whole-volume generator pass at the same halo
+    alignment.  (The trimmed-tile grid sits at a different stride-2 pooling
+    phase, so bit-equality is only guaranteed against an aligned whole-shot;
+    consecutive slabs are 40 apart = phase-aligned with each other.)"""
+    from transfer_em_tpu.infer.slab import slab_predict
+    from transfer_em_tpu.ops.normalize import postprocess_to_u8, preprocess_u8
+    gen, params, vol = setup
+    apply_fn = lambda p, x: gen.apply(p, x)
+    ms_x, ms_y = (0.1, 0.9), (0.05, 1.1)
+
+    start, size = (30, 40, 20), (40, 36, 80)  # xyz; 80 z -> 2 slabs
+    got = slab_predict(vol, apply_fn, params, start, size, ms_x, ms_y)
+    assert got.shape == (80, 36, 40)
+
+    # whole-shot at the same alignment: input z covers both slabs' windows
+    # (z in 74+40=114 is a valid dimsize: 114 = 74+40)
+    from transfer_em_tpu.shapes import is_valid_dimsize
+    assert is_valid_dimsize(114)
+    b = 17
+    x0, y0, z0 = start
+    # y/x input extents must match slab_predict's (next valid >= size+2b)
+    from transfer_em_tpu.infer.slab import _next_valid
+    y_in = _next_valid(36 + 2 * b)
+    x_in = _next_valid(40 + 2 * b)
+    whole = gather_blocks(vol, [(x0 - b, y0 - b, z0 - b)], 128)[0]
+    whole = whole[:114, :y_in, :x_in]
+    xin = preprocess_u8(__import__("jax").numpy.asarray(whole)[None], ms_x)
+    y = apply_fn(params, xin)
+    pred = np.asarray(postprocess_to_u8(y, ms_y))[0, :, :, :, 0]
+    np.testing.assert_array_equal(got, pred[:80, :36, :40])

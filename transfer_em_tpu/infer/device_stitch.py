@@ -94,10 +94,16 @@ def device_predict_tiled(
         def step(out, batch):
             cz, iz = batch
 
-            def one(c):
-                return _gather_tile(vol, (c[0], c[1], c[2]), insize)
+            # Sequential dynamic_slices: a vmapped dynamic_slice lowers to a
+            # scalar gather on TPU (measured 20x slower); a fori_loop of true
+            # slices stays on the fast DMA path.
+            def one(i, tiles):
+                t = _gather_tile(vol, (cz[i, 0], cz[i, 1], cz[i, 2]), insize)
+                return jax.lax.dynamic_update_slice(
+                    tiles, t[None], (i, 0, 0, 0))
 
-            tiles = jax.vmap(one)(cz)                      # (B, s, s, s) u8
+            tiles0 = jnp.zeros((B, insize, insize, insize), jnp.uint8)
+            tiles = jax.lax.fori_loop(0, B, one, tiles0)   # (B, s, s, s) u8
             x = preprocess_u8(tiles, meanstd_x)            # (B, s, s, s, 1)
             y = gen_apply(params, x)
             if tpad > 0:

@@ -1,0 +1,116 @@
+"""Slab inference: large-volume prediction without per-tile overhead.
+
+The reference tiles big volumes into 74^3 inputs (utils.py:41-130) because
+GPU memory forced it.  On TPU the generator is fully convolutional and HBM
+is large, so a whole (74, Y, X) z-slab runs as ONE forward: for a 360^3
+request that is 9 big convolution programs instead of 1000 tiny ones —
+per-tile fixed costs vanish and XLA gets large spatial extents to tile.
+
+VALID-conv arithmetic per axis (shapes.is_valid_dimsize generalizes the
+74->40 default): the z input extent stays 74 (out 40), y/x take the smallest
+valid extent covering the request + halo.  OOB halos read zeros, identical
+to gather_blocks/tiled semantics; equality with predict_tiled is asserted in
+tests/test_device_stitch.py.
+
+Everything (pad, preprocess, generator, postprocess, stitch) runs in one jit
+with a scan over z-chunks; uint8 in HBM, uint8 out.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.normalize import postprocess_to_u8, preprocess_u8
+from ..shapes import generator_shapes, is_valid_dimsize
+
+
+def _next_valid(n: int) -> int:
+    d = n
+    while not is_valid_dimsize(d):
+        d += 1
+    return d
+
+
+def slab_predict(vol_zyx: np.ndarray | jax.Array,
+                 gen_apply: Callable, params,
+                 start: Tuple[int, int, int], size: Tuple[int, int, int],
+                 meanstd_x, meanstd_y,
+                 z_in: int = 74) -> np.ndarray:
+    """Predict an xyz ``start``/``size`` region of a zyx uint8 volume.
+
+    Args:
+      vol_zyx: source volume (uint8, zyx); OOB halo reads zeros.
+      start, size: xyz request (like predict_ng_cube / predict_tiled).
+      z_in: input z extent per slab (a valid dimsize; 74 -> 40 out).
+    Returns:
+      zyx uint8 array of ``size``.
+    """
+    assert is_valid_dimsize(z_in), z_in
+    shp = generator_shapes(z_in)
+    z_out = shp.out
+    buffer = shp.buffer
+
+    sx, sy, sz = size
+    x0, y0, z0 = start
+    # y/x: one shot at the smallest valid extent covering size + 2*buffer
+    y_in = _next_valid(sy + 2 * buffer)
+    x_in = _next_valid(sx + 2 * buffer)
+    y_out = y_in - 2 * buffer  # >= sy
+    x_out = x_in - 2 * buffer
+    nz = -(-sz // z_out)
+
+    vol = jnp.asarray(vol_zyx, jnp.uint8)
+    Z, Y, X = vol.shape
+    # Pad so every slab read is in range (zeros outside the volume).
+    z_lo = z0 - buffer
+    y_lo = y0 - buffer
+    x_lo = x0 - buffer
+    z_hi = z_lo + nz * z_out + 2 * buffer
+    y_hi = y_lo + y_in
+    x_hi = x_lo + x_in
+    pad_cfg = ((max(0, -z_lo), max(0, z_hi - Z)),
+               (max(0, -y_lo), max(0, y_hi - Y)),
+               (max(0, -x_lo), max(0, x_hi - X)))
+    volp = jnp.pad(vol, pad_cfg)
+    z_lo += pad_cfg[0][0]
+    y_lo += pad_cfg[1][0]
+    x_lo += pad_cfg[2][0]
+
+    zs = jnp.asarray([z_lo + i * z_out for i in range(nz)], jnp.int32)
+
+    out = _run(volp, params, zs, gen_apply=gen_apply, z_lo=z_lo, y_lo=y_lo,
+               x_lo=x_lo, z_in=z_in, y_in=y_in, x_in=x_in, z_out=z_out,
+               y_out=y_out, x_out=x_out, nz=nz,
+               meanstd_x=tuple(meanstd_x) if meanstd_x else None,
+               meanstd_y=tuple(meanstd_y) if meanstd_y else None)
+    return np.asarray(out)[:sz, :sy, :sx]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gen_apply", "z_lo", "y_lo", "x_lo", "z_in", "y_in",
+                     "x_in", "z_out", "y_out", "x_out", "nz",
+                     "meanstd_x", "meanstd_y"))
+def _run(volp, params, zs, *, gen_apply, z_lo, y_lo, x_lo, z_in, y_in, x_in,
+         z_out, y_out, x_out, nz, meanstd_x, meanstd_y):
+    # Module-level jit: repeated slab_predict calls with the same geometry
+    # and the same gen_apply object hit the trace cache (an inner closure
+    # would re-trace and pay remote-compile-cache lookups every call).
+    def step(out, zstart):
+        slab = jax.lax.dynamic_slice(
+            volp, (zstart, y_lo, x_lo), (z_in, y_in, x_in))
+        xin = preprocess_u8(slab[None], meanstd_x)
+        y = gen_apply(params, xin)
+        pred = postprocess_to_u8(y, meanstd_y)[0, :, :, :, 0]
+        i = (zstart - z_lo) // z_out
+        out = jax.lax.dynamic_update_slice(out, pred, (i * z_out, 0, 0))
+        return out, None
+
+    out0 = jnp.zeros((nz * z_out, y_out, x_out), jnp.uint8)
+    out, _ = jax.lax.scan(step, out0, zs)
+    return out
