@@ -30,16 +30,17 @@ def synth_patches(n=64, size=74, seed=0):
     return out
 
 
-def main(epochs=10):
-    patches = synth_patches()
+def main(epochs=10, wf=8, batch_size=8, n_patches=64):
+    patches = synth_patches(n=n_patches)
 
     # domain Y: the real data; domain X: warped (blur + holes) Y
-    target_ds, meanstd_y = create_dataset_from_tensors(patches, batch_size=8)
-    source_ds, meanstd_x = create_dataset_from_tensors(patches, batch_size=8,
-                                                       custom_map=warp)
+    target_ds, meanstd_y = create_dataset_from_tensors(
+        patches, batch_size=batch_size)
+    source_ds, meanstd_x = create_dataset_from_tensors(
+        patches, batch_size=batch_size, custom_map=warp)
     print(f"meanstd_x={meanstd_x} meanstd_y={meanstd_y}")
 
-    model = EM2EM(74, "simple2d", is3d=False, wf=8)
+    model = EM2EM(74, "simple2d", is3d=False, wf=wf)
     sample = next(iter(source_ds))
     gt = next(iter(target_ds))
     model.train(source_ds, target_ds, epochs=epochs, check_freq=5,

@@ -1,0 +1,17 @@
+"""Smoke-test the example recipes (tiny configs, CPU)."""
+
+import sys
+
+import pytest
+
+
+def test_simple_training_2d(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        import simple_training_2d as ex
+    finally:
+        sys.path.remove("/root/repo/examples")
+    ex.main(epochs=1, wf=32, batch_size=4, n_patches=8)
+    assert (tmp_path / "simple2d_sample.png").exists()
+    assert (tmp_path / "simple2d_metrics.jsonl").exists()
