@@ -11,8 +11,13 @@ source volume lives on device as uint8, and a single jitted ``lax.scan``
 
 so the host never touches a voxel between upload and download.  Tile
 coordinates are a traced array — one compile serves any request geometry
-with the same tile count/shape.  The batch axis shards over the mesh's data
-axis for multi-chip fan-out.
+with the same tile count/shape.  See also infer/slab.py for the whole-slab
+variant (fewer, larger forwards).
+
+TPU notes (PERF.md): a vmapped dynamic_slice lowers to a scalar gather
+(measured 20x slower) — tiles are gathered with a fori_loop of true slices;
+the jitted runner lives at module level with static geometry args so repeat
+calls hit the trace cache.
 
 Used by bench configs (3) and (5); equality with the host path is asserted
 in tests/test_device_stitch.py.
@@ -21,7 +26,7 @@ in tests/test_device_stitch.py.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,16 +34,6 @@ import numpy as np
 
 from ..ops.normalize import postprocess_to_u8, preprocess_u8
 from .tiling import plan_tiles
-
-
-def _gather_tile(vol: jax.Array, corner_zyx: jax.Array, insize: int) -> jax.Array:
-    """Dynamic-slice one tile; corners may be negative / OOB (zero fill).
-
-    jax clamps dynamic_slice start indices into range, which would shift the
-    tile; instead slice from a zero-padded volume with offset corners.
-    (The caller pads once — see device_predict_tiled.)
-    """
-    return jax.lax.dynamic_slice(vol, corner_zyx, (insize,) * 3)
 
 
 def device_predict_tiled(
@@ -54,30 +49,24 @@ def device_predict_tiled(
     Args/semantics match infer.tiling.predict_tiled with an in-memory source:
     OOB halos read zeros.  Returns the stitched zyx uint8 block of ``size``.
     """
+    del donate_volume  # reserved
     plan = plan_tiles(start, size, outdimsize, buffer)
     insize = plan.insize
-    halo = plan.buffer
 
-    # Pad by the halo so every corner index is in range after offsetting;
-    # this reproduces gather_blocks' zero-fill OOB semantics for tiles that
-    # poke outside the volume.
-    pad = insize  # generous: corner can be at most `buffer` outside + tile
-    vol = jnp.pad(jnp.asarray(vol_zyx, jnp.uint8),
-                  [(pad, pad)] * 3)
+    # Pad by the tile size so every (corner - buffer) index is in range,
+    # reproducing gather_blocks' zero-fill OOB semantics.
+    pad = insize
+    vol = jnp.pad(jnp.asarray(vol_zyx, jnp.uint8), [(pad, pad)] * 3)
 
-    # corners (xyz, absolute) -> padded-volume zyx offsets
     corners = np.asarray(plan.corners, np.int64)  # (T, 3) xyz
     corners_zyx = corners[:, ::-1] + pad
-    indices = np.asarray(plan.indices, np.int64)  # (T, 3) xyz output offsets
-    indices_zyx = indices[:, ::-1]
+    indices_zyx = np.asarray(plan.indices, np.int64)[:, ::-1]
 
     T = plan.num_tiles
     B = min(batch_size, T)
     nb = (T + B - 1) // B
-    # pad the tile list to a whole number of batches (repeat last tile; its
-    # duplicate writes are idempotent)
     padn = nb * B - T
-    if padn:
+    if padn:  # repeat last tile; duplicate writes are idempotent
         corners_zyx = np.concatenate([corners_zyx,
                                       np.repeat(corners_zyx[-1:], padn, 0)])
         indices_zyx = np.concatenate([indices_zyx,
@@ -85,42 +74,46 @@ def device_predict_tiled(
     corners_d = jnp.asarray(corners_zyx.reshape(nb, B, 3))
     indices_d = jnp.asarray(indices_zyx.reshape(nb, B, 3))
 
-    out_shape = plan.padded_size
-    tpad = plan.tpad
-    odim = plan.outdimsize
-
-    @jax.jit
-    def run(vol, params, corners_d, indices_d):
-        def step(out, batch):
-            cz, iz = batch
-
-            # Sequential dynamic_slices: a vmapped dynamic_slice lowers to a
-            # scalar gather on TPU (measured 20x slower); a fori_loop of true
-            # slices stays on the fast DMA path.
-            def one(i, tiles):
-                t = _gather_tile(vol, (cz[i, 0], cz[i, 1], cz[i, 2]), insize)
-                return jax.lax.dynamic_update_slice(
-                    tiles, t[None], (i, 0, 0, 0))
-
-            tiles0 = jnp.zeros((B, insize, insize, insize), jnp.uint8)
-            tiles = jax.lax.fori_loop(0, B, one, tiles0)   # (B, s, s, s) u8
-            x = preprocess_u8(tiles, meanstd_x)            # (B, s, s, s, 1)
-            y = gen_apply(params, x)
-            if tpad > 0:
-                y = y[:, tpad:-tpad, tpad:-tpad, tpad:-tpad, :]
-            pred = postprocess_to_u8(y, meanstd_y)[..., 0]  # (B, o, o, o) u8
-
-            def put(out, i):
-                return jax.lax.dynamic_update_slice(
-                    out, pred[i], (iz[i, 0], iz[i, 1], iz[i, 2]))
-
-            out = jax.lax.fori_loop(0, B, lambda i, o: put(o, i), out)
-            return out, None
-
-        out0 = jnp.zeros(out_shape, jnp.uint8)
-        out, _ = jax.lax.scan(step, out0, (corners_d, indices_d))
-        return out
-
-    out = run(vol, params, corners_d, indices_d)
+    out = _run(vol, params, corners_d, indices_d,
+               gen_apply=gen_apply, insize=insize, tpad=plan.tpad,
+               batch=B, out_shape=plan.padded_size,
+               meanstd_x=tuple(meanstd_x) if meanstd_x else None,
+               meanstd_y=tuple(meanstd_y) if meanstd_y else None)
     sx, sy, sz = size
     return np.asarray(out)[:sz, :sy, :sx]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gen_apply", "insize", "tpad", "batch", "out_shape",
+                     "meanstd_x", "meanstd_y"))
+def _run(vol, params, corners_d, indices_d, *, gen_apply, insize, tpad,
+         batch, out_shape, meanstd_x, meanstd_y):
+    def step(out, batch_args):
+        cz, iz = batch_args
+
+        # fori_loop of true dynamic_slices (vmap would lower to a gather)
+        def one(i, tiles):
+            t = jax.lax.dynamic_slice(
+                vol, (cz[i, 0], cz[i, 1], cz[i, 2]), (insize,) * 3)
+            return jax.lax.dynamic_update_slice(tiles, t[None], (i, 0, 0, 0))
+
+        tiles0 = jnp.zeros((batch, insize, insize, insize), jnp.uint8)
+        tiles = jax.lax.fori_loop(0, batch, one, tiles0)
+
+        x = preprocess_u8(tiles, meanstd_x)
+        y = gen_apply(params, x)
+        if tpad > 0:
+            y = y[:, tpad:-tpad, tpad:-tpad, tpad:-tpad, :]
+        pred = postprocess_to_u8(y, meanstd_y)[..., 0]
+
+        def put(i, out):
+            return jax.lax.dynamic_update_slice(
+                out, pred[i], (iz[i, 0], iz[i, 1], iz[i, 2]))
+
+        out = jax.lax.fori_loop(0, batch, put, out)
+        return out, None
+
+    out0 = jnp.zeros(out_shape, jnp.uint8)
+    out, _ = jax.lax.scan(step, out0, (corners_d, indices_d))
+    return out
