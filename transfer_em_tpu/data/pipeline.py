@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.augment import batch_augment
-from ..ops.normalize import get_meanstd, preprocess_u8, scale_tensor, standardize_population
+from ..ops.normalize import get_meanstd, scale_tensor, standardize_population
 
 BATCH_SIZE = 64     # reference datasets.py:10
 EPOCH_SIZE = 4096   # reference datasets.py:11

@@ -11,17 +11,15 @@ reconstructed without the checkpoint).
 
 from __future__ import annotations
 
-import json
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np
 from flax import serialization
 
-from ..config import CycleGANConfig, ExportMeta
+from ..config import ExportMeta
 from ..models.generator import UNetGenerator
-from ..shapes import generator_shapes
 
 PARAMS_FILE = "generator.msgpack"
 META_FILE = "meta.json"

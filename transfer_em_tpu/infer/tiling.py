@@ -20,8 +20,7 @@ tests/test_tiling.py by predicting a block whole vs tiled.
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

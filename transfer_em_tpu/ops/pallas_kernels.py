@@ -21,7 +21,6 @@ asserted in tests/test_pallas.py.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -23,7 +23,7 @@ import threading
 import traceback
 from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional, Tuple
+from typing import Optional
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np

@@ -26,7 +26,7 @@ from __future__ import annotations
 import functools
 import os
 import time
-from typing import Any, Callable, Iterable, Optional, Tuple
+from typing import Callable, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
