@@ -158,3 +158,19 @@ def test_model_service_rejects_unaligned(exported, tmp_path, volume):
                           dest=str(tmp_path / "o"))
     finally:
         svc.stop()
+
+
+def test_data_service_volume_jpeg_slice(volume, data_service):
+    """POST /volume with jpeg=True and a single-z-slice size returns a JPEG
+    (reference cloudrun_functions/transferem.py:181-189)."""
+    import io
+    from PIL import Image
+    config = {"location": "testbucket/vol", "start": [0, 0, 5],
+              "size": [32, 16, 1], "jpeg": True}
+    req = urllib.request.Request(data_service.url + "/volume",
+                                 data=json.dumps(config).encode(),
+                                 headers={"Content-type": "application/json"})
+    resp = urllib.request.urlopen(req)
+    assert resp.headers["Content-Type"] == "image/jpeg"
+    img = np.asarray(Image.open(io.BytesIO(resp.read())))
+    assert img.shape == (16, 32)  # (sy, sx)
