@@ -157,3 +157,24 @@ def test_zip_datasets(rng):
     pairs = list(zip_datasets(a, b))
     assert len(pairs) == 2
     assert pairs[0][0].shape == pairs[0][1].shape
+
+
+def test_threaded_fetch_overlaps_latency(rng):
+    """The streaming pipeline must hide source latency behind concurrency
+    (SURVEY.md §7 'hiding ~100ms HTTP fetches'): with 8 parallel fetches of a
+    25ms-latency source, wall time for an epoch must be well under serial."""
+    import time
+
+    from transfer_em_tpu.data.sources import _parallel_fetch
+
+    def slow_fetch(corner):
+        time.sleep(0.025)
+        return np.zeros((4, 4, 4), np.uint8)
+
+    corners = iter([(0, 0, 0)] * 32)
+    t0 = time.perf_counter()
+    out = list(_parallel_fetch(corners, slow_fetch, num_threads=8))
+    dt = time.perf_counter() - t0
+    assert len(out) == 32
+    serial = 32 * 0.025
+    assert dt < serial * 0.6, (dt, serial)  # >= ~2x overlap in practice
