@@ -49,3 +49,13 @@ def test_gradients_match_lax(rng):
         rel = (np.max(np.abs(np.asarray(a) - np.asarray(b)))
                / max(float(jnp.max(jnp.abs(b))), 1e-9))
         assert rel < 0.02, rel
+
+
+def test_leaky_epilogue(rng):
+    import jax.numpy as jnp
+    x = jnp.asarray(rng.normal(0, 1, (1, 10, 10, 18, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.3, (3, 3, 3, 8, 8)).astype(np.float32))
+    plain = np.asarray(tconv3(x, w), np.float32)
+    fused = np.asarray(tconv3(x, w, leaky=0.3), np.float32)
+    want = np.where(plain >= 0, plain, plain * 0.3)
+    np.testing.assert_allclose(fused, want, atol=2e-2, rtol=2e-2)

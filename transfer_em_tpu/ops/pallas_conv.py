@@ -67,35 +67,59 @@ def _build_toeplitz(w: jax.Array, wt: int) -> jax.Array:
 
 
 def _tconv3_kernel(oh: int, nw: int, wt: int, c: int, h8: int, wcp: int,
-                   x_hbm, b_ref, o_ref, xs_ref, a_ref, sem):
+                   grid_d: int, leaky: float,
+                   x_hbm, b_ref, o_ref, xs_ref, a_ref, sems):
     """One (batch, d_out) program: DMA the 3-slab window, build A, one GEMM.
+
+    Double-buffered: while program (b, i) computes from slot i%2, the DMA for
+    (b, i+1) is already in flight into slot (i+1)%2 (started by the previous
+    program; grid iteration on one core is sequential).
 
     x_hbm:  (B, D, H, Wp*C)  reshaped input, stays in HBM/ANY
     b_ref:  (9*128, wt*O)    Toeplitz weights (VMEM)
     o_ref:  (1, 1, nw*oh, wt*O) output rows (wb-major, then h)
-    xs_ref: (1, 3, H, Wp*C)  VMEM scratch for the overlapping d-window
+    xs_ref: (2, 3, H, Wp*C)  double-buffered VMEM scratch for the d-window
     a_ref:  (nw*oh, 9*128)   VMEM scratch (the patch matrix)
+    leaky:  if >= 0, apply LeakyReLU(neg_slope=leaky) as the GEMM epilogue
+            (absorbs the activation XLA would otherwise fuse).
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
-    cp = pltpu.make_async_copy(x_hbm.at[pl.ds(b, 1), pl.ds(i, 3)], xs_ref, sem)
-    cp.start()
-    cp.wait()
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():  # first program of this batch row: fetch its own window
+        pltpu.make_async_copy(x_hbm.at[pl.ds(b, 1), pl.ds(i, 3)],
+                              xs_ref.at[pl.ds(slot, 1)], sems.at[slot]).start()
+
+    @pl.when(i + 1 < grid_d)
+    def _():  # prefetch the next window into the other slot
+        nxt = jax.lax.rem(i + 1, 2)
+        pltpu.make_async_copy(x_hbm.at[pl.ds(b, 1), pl.ds(i + 1, 3)],
+                              xs_ref.at[pl.ds(nxt, 1)], sems.at[nxt]).start()
+
+    pltpu.make_async_copy(x_hbm.at[pl.ds(b, 1), pl.ds(i, 3)],
+                          xs_ref.at[pl.ds(slot, 1)], sems.at[slot]).wait()
+
     for kd in range(3):
         for kh in range(3):
             col = (kd * 3 + kh) * LANE
             for wb in range(nw):
                 a_ref[wb * oh:(wb + 1) * oh, col:col + LANE] = \
-                    xs_ref[0, kd, kh:kh + oh, wb * wt * c:wb * wt * c + LANE]
-    o_ref[0, 0] = jnp.dot(a_ref[:], b_ref[:],
-                          preferred_element_type=jnp.float32).astype(o_ref.dtype)
+                    xs_ref[slot, kd, kh:kh + oh,
+                           wb * wt * c:wb * wt * c + LANE]
+    y = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32)
+    if leaky >= 0:
+        y = jnp.where(y >= 0, y, y * leaky)
+    o_ref[0, 0] = y.astype(o_ref.dtype)
 
 
-def tconv3(x: jax.Array, w: jax.Array) -> jax.Array:
+def tconv3(x: jax.Array, w: jax.Array, leaky: float = -1.0) -> jax.Array:
     """3x3x3 VALID stride-1 conv, channels-last, via the Toeplitz kernel.
 
     x: (B, D, H, W, C) any float dtype; w: (3,3,3,C,O).  Returns
     (B, D-2, H-2, W-2, O) in x.dtype (compute bf16).
+    leaky: >= 0 fuses a LeakyReLU(neg_slope=leaky) epilogue into the GEMM.
     """
     bsz, d, h, wdim, c = x.shape
     o = w.shape[-1]
@@ -118,7 +142,8 @@ def tconv3(x: jax.Array, w: jax.Array) -> jax.Array:
 
     bt = _build_toeplitz(w, wt)
 
-    kern = functools.partial(_tconv3_kernel, oh, nw, wt, c, h8, wcp)
+    kern = functools.partial(_tconv3_kernel, oh, nw, wt, c, h8, wcp, od,
+                             leaky)
     out = pl.pallas_call(
         kern,
         grid=(bsz, od),
@@ -133,9 +158,9 @@ def tconv3(x: jax.Array, w: jax.Array) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((bsz, od, nw * oh, wt * o),
                                        jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((1, 3, h8, wcp), jnp.bfloat16),
+            pltpu.VMEM((2, 3, h8, wcp), jnp.bfloat16),  # double-buffered
             pltpu.VMEM((nw * oh, 9 * LANE), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=jax.default_backend() != "tpu",
     )(x2, bt)
