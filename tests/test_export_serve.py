@@ -174,3 +174,22 @@ def test_data_service_volume_jpeg_slice(volume, data_service):
     assert resp.headers["Content-Type"] == "image/jpeg"
     img = np.asarray(Image.open(io.BytesIO(resp.read())))
     assert img.shape == (16, 32)  # (sy, sx)
+
+
+def test_ng_output_predictor(exported, volume, data_service, tmp_path):
+    """NgOutputPredictor writes an ng volume (info + gzip blocks) and returns
+    a viewer URL (reference custom_online/predictor.py:100-150)."""
+    from transfer_em_tpu.serve import NgOutputPredictor
+    d, gen, params, meta = exported
+    pred = NgOutputPredictor.from_path(d, dest_root=str(tmp_path / "ng"))
+    (url,) = pred.predict([{
+        "location": "testbucket/vol", "cloudrun": data_service.url,
+        "start": (64, 64, 64), "size": (64, 64, 64)}])
+    assert url.startswith("https://") and "precomputed://" in url
+    import glob
+    dests = glob.glob(str(tmp_path / "ng" / "*"))
+    assert len(dests) == 1
+    info = json.load(open(os.path.join(dests[0], "info")))
+    assert info["scales"][0]["size"] == [64, 64, 64]
+    blocks = os.listdir(os.path.join(dests[0], "64_64_64"))
+    assert len(blocks) == 1  # one 64^3 block
