@@ -101,3 +101,25 @@ def test_export_after_training(trained, tmp_path):
     x = jnp.zeros((1, 74, 74, 1))
     np.testing.assert_array_equal(np.asarray(model.predict(x)),
                                   np.asarray(gen2.apply(params2, x)))
+
+
+def test_loss_decreases_on_warp_fixture(tmp_path):
+    """SURVEY §4 fixture: training on the warp-corrupted domain must reduce
+    the cycle loss within a few dozen steps (fixed seeds -> deterministic)."""
+    rng = np.random.default_rng(1)
+    patches = make_patches(rng, n=8)
+    target_ds, _ = create_dataset_from_tensors(
+        patches, batch_size=4, enable_augmentation=False, seed=1)
+    source_ds, _ = create_dataset_from_tensors(
+        patches, batch_size=4, custom_map=warp, enable_augmentation=False,
+        seed=2)
+    model = EM2EM(74, "loss_decrease", is3d=False, wf=32,
+                  checkpoint_root=str(tmp_path / "ck"), seed=3)
+    hist = []
+    for _ in range(100):  # 200 steps: GAN warm-up plateaus ~120 steps, then
+        for bx, by in zip(source_ds, target_ds):  # cycle loss collapses
+            hist.append(np.asarray(model.train_step(bx, by)))
+    h = np.stack(hist)
+    first, last = h[:20, 6].mean(), h[-20:, 6].mean()
+    # measured trajectory: ~5.1 -> ~0.19 (see PERF-era probe); require 2x
+    assert last < first * 0.5, (first, last)

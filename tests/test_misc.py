@@ -84,3 +84,11 @@ def test_step_timer():
     t.start()
     dt = t.stop()
     assert dt >= 0 and t.ema is not None and t.items_per_sec > 0
+
+
+def test_profile_trace_writes(tmp_path):
+    from transfer_em_tpu.train import profile_trace
+    with profile_trace(str(tmp_path / "trace")):
+        _ = jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    files = list((tmp_path / "trace").rglob("*"))
+    assert files, "no profiler artifacts written"
