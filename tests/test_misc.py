@@ -92,3 +92,32 @@ def test_profile_trace_writes(tmp_path):
         _ = jnp.sum(jnp.ones((8, 8))).block_until_ready()
     files = list((tmp_path / "trace").rglob("*"))
     assert files, "no profiler artifacts written"
+
+
+def test_em2em_with_disc_prior(tmp_path):
+    """EM2EM trains with a frozen prior concatenated into disc_y
+    (reference cgan.py:21-29 + discriminator.py:62-70)."""
+    import numpy as np
+    from transfer_em_tpu.infer.export import export_generator
+    from transfer_em_tpu.models import UNetGenerator
+    from transfer_em_tpu.train import EM2EM, create_prior_helper
+
+    gen = UNetGenerator(wf=32)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 74, 74, 1)))
+    meta = ExportMeta(buffer=17, outdimsize=40, meanstd_x=(0, 1),
+                      meanstd_y=(0, 1), dimsize=74, is3d=False, wf=32)
+    export_generator(params, meta, str(tmp_path / "prior"))
+    # down1 of a 40-input gives the 17^2 grid matching disc_y's down2 output
+    prior = create_prior_helper(str(tmp_path / "prior"), "down1")
+
+    model = EM2EM(74, "prior_test", is3d=False, wf=32, disc_prior=prior,
+                  checkpoint_root=str(tmp_path / "ck"))
+    # disc_y's down3 consumes down2's 256//wf channels + the prior's 64//wf
+    base = 256 // 32
+    got = model.state.dy["params"]["down3"]["conv"]["kernel"].shape[-2]
+    assert got == base + 64 // 32, got
+    # disc_x (no prior) stays at base width
+    assert model.state.dx["params"]["down3"]["conv"]["kernel"].shape[-2] == base
+    x = jnp.zeros((2, 74, 74, 1))
+    loss = model.train_step(x, x)
+    assert np.all(np.isfinite(np.asarray(loss)))
