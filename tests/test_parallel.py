@@ -82,3 +82,23 @@ def test_halo_predict_matches_unsharded():
     assert got.shape == want.shape == (Z, 40, 40, 1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_make_mesh_validation():
+    with pytest.raises(AssertionError):
+        make_mesh(8, data=3, space=2)  # 6 != 8
+    m = make_mesh(8, data=2, space=4)
+    assert m.shape["data"] == 2 and m.shape["space"] == 4
+    m2 = make_mesh(4)
+    assert m2.shape["data"] == 4 and m2.shape["space"] == 1
+
+
+def test_halo_predict_rejects_bad_slabs():
+    from transfer_em_tpu.parallel.halo import halo_predict_fn
+    gen = UNetGenerator(wf=32)
+    mesh = make_mesh(8, data=2, space=4)
+    apply_fn = lambda p, b: gen.apply(p, b)
+    with pytest.raises(AssertionError):
+        halo_predict_fn(apply_fn, mesh, 17, 4 * 18, 4)  # slab 18 % 4 != 0
+    with pytest.raises(AssertionError):
+        halo_predict_fn(apply_fn, mesh, 17, 4 * 16, 4)  # slab 16 < buffer 17
