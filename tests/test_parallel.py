@@ -102,3 +102,27 @@ def test_halo_predict_rejects_bad_slabs():
         halo_predict_fn(apply_fn, mesh, 17, 4 * 18, 4)  # slab 18 % 4 != 0
     with pytest.raises(AssertionError):
         halo_predict_fn(apply_fn, mesh, 17, 4 * 16, 4)  # slab 16 < buffer 17
+
+
+def test_em2em_to_mesh(tmp_path):
+    """EM2EM.to_mesh() trains data-parallel and matches the single-device
+    model given identical seeds and batches."""
+    from transfer_em_tpu.train import EM2EM
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 74, 74, 1)).astype(np.float32)
+    y = rng.normal(size=(8, 74, 74, 1)).astype(np.float32)
+
+    single = EM2EM(74, "mesh_single", is3d=False, wf=32,
+                   checkpoint_root=str(tmp_path / "a"), seed=0)
+    l1 = np.asarray(single.train_step(x, y))
+
+    sharded = EM2EM(74, "mesh_dp", is3d=False, wf=32,
+                    checkpoint_root=str(tmp_path / "b"), seed=0)
+    sharded.to_mesh(make_mesh(8))
+    l2 = np.asarray(sharded.train_step(x, y))
+
+    np.testing.assert_allclose(l1, l2, rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(single.state.gg),
+                    jax.tree.leaves(sharded.state.gg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)

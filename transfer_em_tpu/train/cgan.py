@@ -355,11 +355,35 @@ class EM2EM:
         self._restore_step(step)
         print(f"checkpoint {ckpt_restore} restored")
 
+    # ------------------------------------------------------------ multi-chip
+    def to_mesh(self, mesh=None) -> "EM2EM":
+        """Switch training to data-parallel execution over a device Mesh.
+
+        Replicates the state, swaps in the batch-sharded jitted step
+        (parallel.dp), and shards incoming batches over the mesh.  The
+        reference left this as its MirroredStrategy TODO (cgan.py:8-11).
+        Returns self for chaining:  EM2EM(...).to_mesh().
+        """
+        from ..parallel import make_dp_train_step, make_mesh, shard_state
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.state = shard_state(self.state, self.mesh)
+        self._train_step = make_dp_train_step(self.config, self.mesh,
+                                              self.disc_prior)
+        return self
+
     # ----------------------------------------------------------------- train
     def train_step(self, real_x, real_y) -> np.ndarray:
         """One optimization step; returns the 7-loss vector (cgan.py:144)."""
-        self.state, loss = self._train_step(
-            self.state, jnp.asarray(real_x), jnp.asarray(real_y), self._rng)
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None:
+            from ..parallel import shard_batch
+            real_x = shard_batch(jnp.asarray(real_x), mesh)
+            real_y = shard_batch(jnp.asarray(real_y), mesh)
+        else:
+            real_x = jnp.asarray(real_x)
+            real_y = jnp.asarray(real_y)
+        self.state, loss = self._train_step(self.state, real_x, real_y,
+                                            self._rng)
         return loss
 
     def train(self, train_input: Iterable, train_target: Iterable,
