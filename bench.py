@@ -149,6 +149,18 @@ def _measure_tf_reference_uncached() -> float:
 
 
 def main():
+    # Watchdog: the remotely-attached TPU tunnel can wedge (CLAUDE.md);
+    # better to fail loudly after 40 min than hang the driver forever.
+    import signal
+
+    def _timeout(signum, frame):
+        print("# bench watchdog: TPU/tunnel unresponsive for 40 min",
+              file=sys.stderr)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(40 * 60)
+
     for batch in (128, 64, 32, 16, 8, 4, 2, 1):
         try:
             tiles_per_sec = measure_jax(batch)
