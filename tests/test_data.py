@@ -178,3 +178,18 @@ def test_threaded_fetch_overlaps_latency(rng):
     assert len(out) == 32
     serial = 32 * 0.025
     assert dt < serial * 0.6, (dt, serial)  # >= ~2x overlap in practice
+
+
+def test_custom_map_fixed_across_epochs(rng):
+    """The reference caches post-warp data (datasets.py:47-60): without
+    shuffling, each element's warp must be identical across epochs while
+    augmentation still re-rolls."""
+    from transfer_em_tpu.debug import warp
+    tensors = [rng.integers(0, 255, size=(128, 128), dtype=np.uint8)
+               for _ in range(4)]
+    ds, _ = create_dataset_from_tensors(
+        tensors, batch_size=4, custom_map=warp, global_adjust=False,
+        enable_augmentation=False, randomize=False)
+    e1 = np.asarray(next(iter(ds)))
+    e2 = np.asarray(next(iter(ds)))
+    np.testing.assert_array_equal(e1, e2)

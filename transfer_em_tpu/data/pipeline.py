@@ -66,6 +66,31 @@ class _DevicePrefetcher:
             yield nxt
 
 
+class _DevicePrefetcher2:
+    """Like _DevicePrefetcher but items are (host_meta, batch) tuples."""
+
+    def __init__(self, it, depth: int = 2):
+        self._it = it
+        self._depth = depth
+
+    def __iter__(self):
+        buf = []
+        try:
+            for _ in range(self._depth):
+                m, b = next(self._it)
+                buf.append((m, jax.device_put(b)))
+        except StopIteration:
+            pass
+        while buf:
+            nxt = buf.pop(0)
+            try:
+                m, b = next(self._it)
+                buf.append((m, jax.device_put(b)))
+            except StopIteration:
+                pass
+            yield nxt
+
+
 class Dataset:
     """Re-iterable batched dataset; each ``iter()`` is one epoch.
 
@@ -89,18 +114,25 @@ class Dataset:
 
 
 def _device_transform(custom_map, global_adjust, meanstd, enable_augmentation):
-    """Build the fused jitted device map: uint8 batch -> float batch."""
+    """Build the fused jitted device map: uint8 batch -> float batch.
+
+    ``cm_key`` seeds the custom map (e.g. warp) and ``aug_key`` the
+    augmentation.  The in-memory dataset passes an epoch-INdependent cm_key:
+    the reference caches post-warp data (datasets.py:47-60), so the warped
+    source domain is fixed across epochs while augmentation re-rolls.
+    """
 
     @jax.jit
-    def _tx(batch_u8: jax.Array, key: jax.Array) -> jax.Array:
+    def _tx(batch_u8: jax.Array, cm_key: jax.Array,
+            aug_key: jax.Array) -> jax.Array:
         x = scale_tensor(batch_u8)  # (B, *sp, 1) in [-1, 1]
         if custom_map is not None:
-            keys = jax.random.split(jax.random.fold_in(key, 1), x.shape[0])
+            keys = jax.random.split(cm_key, x.shape[0])
             x = jax.vmap(custom_map)(x, keys)
         if global_adjust:
             x = standardize_population(x, meanstd)
         if enable_augmentation:
-            x = batch_augment(x, jax.random.fold_in(key, 2))
+            x = batch_augment(x, aug_key)
         return x
 
     return _tx
@@ -166,11 +198,17 @@ def create_dataset_from_tensors(
 
         def host_batches():
             for s in range(0, n - batch_size + 1, batch_size):  # drop remainder
-                yield stacked[order[s:s + batch_size]]
+                idx = order[s:s + batch_size]
+                yield idx, stacked[idx]
 
         def device_batches():
-            for bi, hb in enumerate(_DevicePrefetcher(host_batches())):
-                yield tx(hb, jax.random.fold_in(ekey, 1000 + bi))
+            for bi, (idx, hb) in enumerate(_DevicePrefetcher2(host_batches())):
+                # warp key from the FIRST element id: with shuffling off (the
+                # common warp-fixture setup) each element keeps its warp
+                # across epochs, matching the reference's post-warp cache.
+                cm_key = jax.random.fold_in(
+                    jax.random.fold_in(base_key, 5000), int(idx[0]))
+                yield tx(hb, cm_key, jax.random.fold_in(ekey, 1000 + bi))
 
         return device_batches()
 
@@ -244,7 +282,8 @@ def create_dataset_from_generator(
 
         def device_batches():
             for bi, hb in enumerate(_DevicePrefetcher(host_batches())):
-                yield tx(hb, jax.random.fold_in(ekey, 1000 + bi))
+                k = jax.random.fold_in(ekey, 1000 + bi)
+                yield tx(hb, jax.random.fold_in(k, 1), jax.random.fold_in(k, 2))
 
         return device_batches()
 
