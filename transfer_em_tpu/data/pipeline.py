@@ -165,7 +165,10 @@ def create_dataset_from_tensors(
     Args:
       tensors: list of 2D/3D uint8 arrays.
       custom_map: per-element map f(scaled_element, key) -> element, applied
-        after scaling (e.g. ``transfer_em_tpu.ops.warp.warp``).
+        after scaling (e.g. ``transfer_em_tpu.ops.warp.warp``).  Without
+        ``randomize`` each element's map randomness is fixed across epochs
+        (matching the reference's post-map cache, datasets.py:47-60); with
+        shuffling the draw is keyed by batch composition and may re-roll.
       randomize: shuffle element order each epoch.
       padding: np.pad-style reflect padding config.
     Returns:
