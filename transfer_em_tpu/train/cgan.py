@@ -304,6 +304,7 @@ class EM2EM:
         self.outdimsize = shapes.out
         self.is3d = is3d
         self.disc_prior = disc_prior
+        self.mesh = None  # set by to_mesh()
 
         self.gen, self.disc_x_model, self.disc_y_model = build_models(
             self.config, disc_prior)
@@ -374,7 +375,7 @@ class EM2EM:
     # ----------------------------------------------------------------- train
     def train_step(self, real_x, real_y) -> np.ndarray:
         """One optimization step; returns the 7-loss vector (cgan.py:144)."""
-        mesh = getattr(self, "mesh", None)
+        mesh = self.mesh
         if mesh is not None:
             from ..parallel import shard_batch
             real_x = shard_batch(jnp.asarray(real_x), mesh)
