@@ -121,3 +121,20 @@ def test_em2em_with_disc_prior(tmp_path):
     x = jnp.zeros((2, 74, 74, 1))
     loss = model.train_step(x, x)
     assert np.all(np.isfinite(np.asarray(loss)))
+
+
+def test_save_model_cli_parsing(monkeypatch):
+    """CLI arg wiring (reference bin/save_model.py argv order)."""
+    from transfer_em_tpu.cli import save_model as cli
+    calls = {}
+
+    def fake(name, ckpt, msx, msy, size, is3d, wf=8):
+        calls.update(name=name, ckpt=ckpt, msx=msx, msy=msy, size=size,
+                     is3d=is3d, wf=wf)
+
+    monkeypatch.setattr(cli, "save_model", fake)
+    rc = cli.main(["m", "ck", "0.1", "0.2", "0.3", "0.4", "74", "1", "16"])
+    assert rc == 0
+    assert calls == dict(name="m", ckpt="ck", msx=(0.1, 0.2), msy=(0.3, 0.4),
+                         size=74, is3d=True, wf=16)
+    assert cli.main([]) == 1  # usage

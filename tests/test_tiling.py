@@ -131,3 +131,24 @@ def test_predict_tiled_in_memory_3d():
                          meanstd_x=(0.0, 1.0), meanstd_y=(0.0, 1.0),
                          batch_size=2)
     np.testing.assert_array_equal(out, out2)
+
+
+def test_predict_tiled_fetch_input():
+    """fetch_input=True returns (input, output) like the reference
+    (utils.py:126-130)."""
+    gen = UNetGenerator(wf=32)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 74, 74, 74, 1)))
+    rng = np.random.default_rng(5)
+    vol = rng.integers(0, 255, size=(160, 160, 160), dtype=np.uint8)
+
+    def fetch_tile(corner, insize):
+        return gather_blocks(vol, [corner], insize)[0]
+
+    inp, out = predict_tiled(fetch_tile, lambda p, x: gen.apply(p, x), params,
+                             start=(40, 40, 40), size=(36, 36, 36),
+                             outdimsize=40, buffer=17,
+                             meanstd_x=(0.0, 1.0), meanstd_y=(0.0, 1.0),
+                             batch_size=4, fetch_input=True)
+    assert inp.shape == out.shape == (36, 36, 36)
+    # returned input equals the source region (zyx slice of the volume)
+    np.testing.assert_array_equal(inp, vol[40:76, 40:76, 40:76])
