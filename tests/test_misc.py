@@ -138,3 +138,16 @@ def test_save_model_cli_parsing(monkeypatch):
     assert calls == dict(name="m", ckpt="ck", msx=(0.1, 0.2), msy=(0.3, 0.4),
                          size=74, is3d=True, wf=16)
     assert cli.main([]) == 1  # usage
+
+
+def test_bench_baseline_cache_read(tmp_path, monkeypatch):
+    """bench.measure_tf_reference returns the committed cached baseline
+    without importing TF."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    try:
+        import bench
+    finally:
+        sys.path.remove("/root/repo")
+    v = bench.measure_tf_reference()
+    assert v > 0.01  # measured reference TF CPU throughput (tiles/s)
