@@ -76,6 +76,39 @@ class ConvND(nn.Module):
         return y
 
 
+class ConvActND(nn.Module):
+    """Conv + LeakyReLU as one module (same param tree as ConvND: a single
+    ``kernel`` under the module name, so checkpoints/goldens are unaffected).
+
+    With fast_conv on TPU/bf16 the activation is fused into the Pallas
+    Toeplitz GEMM epilogue; otherwise conv_nd + LeakyReLU (which XLA fuses).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: str = "VALID"
+    compute_dtype: Optional[jnp.dtype] = None
+    fast_conv: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ndim = x.ndim - 2
+        kshape = (self.kernel_size,) * ndim + (x.shape[-1], self.features)
+        kernel = self.param("kernel", WEIGHT_INIT, kshape, jnp.float32)
+        if (self.fast_conv and self.compute_dtype == jnp.bfloat16
+                and self.kernel_size == 3 and self.stride == 1
+                and self.padding == "VALID" and ndim == 3
+                and jax.default_backend() == "tpu"):
+            from ..ops import pallas_conv
+            if pallas_conv.supported(x.shape, kshape):
+                return pallas_conv.tconv3_act_op(
+                    x.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16))
+        y = conv_nd(x, kernel, stride=self.stride, padding=self.padding,
+                    compute_dtype=self.compute_dtype)
+        return leaky_relu(y)
+
+
 class ConvTransposeND(nn.Module):
     """TF-exact stride-2 SAME transposed conv (see ops.convs).
 
@@ -132,11 +165,15 @@ class DownBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        y = ConvND(self.features, 3, compute_dtype=self.compute_dtype,
-                   fast_conv=self.fast_conv, name="conv")(x)
         if self.use_norm:
+            y = ConvND(self.features, 3, compute_dtype=self.compute_dtype,
+                       fast_conv=self.fast_conv, name="conv")(x)
             y = InstanceNorm(name="norm1")(y)
-        skip = leaky_relu(y)
+            skip = leaky_relu(y)
+        else:
+            skip = ConvActND(self.features, 3,
+                             compute_dtype=self.compute_dtype,
+                             fast_conv=self.fast_conv, name="conv")(x)
         y = ConvND(self.features, 4, stride=2,
                    compute_dtype=self.compute_dtype, name="down")(skip)
         if self.use_norm:
@@ -157,11 +194,16 @@ class UpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
-        y = ConvND(self.features * 2, 3, compute_dtype=self.compute_dtype,
-                   fast_conv=self.fast_conv, name="conv")(x)
         if self.use_norm:
+            y = ConvND(self.features * 2, 3,
+                       compute_dtype=self.compute_dtype,
+                       fast_conv=self.fast_conv, name="conv")(x)
             y = InstanceNorm(name="norm1")(y)
-        y = leaky_relu(y)
+            y = leaky_relu(y)
+        else:
+            y = ConvActND(self.features * 2, 3,
+                          compute_dtype=self.compute_dtype,
+                          fast_conv=self.fast_conv, name="conv")(x)
         y = ConvTransposeND(self.features, 4, 2,
                             compute_dtype=self.compute_dtype, name="up")(y)
         if self.apply_dropout:

@@ -29,7 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .blocks import ConvND, DownBlock, leaky_relu
+from .blocks import ConvActND, ConvND, DownBlock, leaky_relu
 
 
 class Discriminator(nn.Module):
@@ -54,12 +54,11 @@ class Discriminator(nn.Module):
             down1, _ = DownBlock(64 // self.wf, use_norm=False,
                                  compute_dtype=cd, fast_conv=fc,
                                  name="down1")(x)
-            h = ConvND(16, 3, compute_dtype=cd, fast_conv=fc,
-                       name="hack")(down1)
+            h = ConvActND(16, 3, compute_dtype=cd, fast_conv=fc,
+                          name="hack")(down1)
         else:
             # 2D HACK path: conv on the raw input; down1 never contributes.
-            h = ConvND(16, 3, compute_dtype=cd, name="hack")(x)
-        h = leaky_relu(h)
+            h = ConvActND(16, 3, compute_dtype=cd, name="hack")(x)
 
         down2, _ = DownBlock(256 // self.wf, use_norm=self.use_norm,
                              compute_dtype=cd, fast_conv=fc, name="down2")(h)
@@ -73,8 +72,7 @@ class Discriminator(nn.Module):
                              fast_conv=fc, name="down3")(x)
         x = leaky_relu(down3)  # reference applies LeakyReLU twice here
 
-        x = ConvND(256 // self.wf, 1, compute_dtype=cd, name="head")(x)
-        x = leaky_relu(x)
+        x = ConvActND(256 // self.wf, 1, compute_dtype=cd, name="head")(x)
         x = ConvND(1, 1, use_bias=True, compute_dtype=cd, name="out")(x)
         return x.astype(jnp.float32)
 

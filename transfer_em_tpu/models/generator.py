@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..ops.convs import crop_to_match
 from ..shapes import generator_shapes, is_valid_dimsize
-from .blocks import ConvND, DownBlock, UpBlock, leaky_relu
+from .blocks import ConvActND, ConvND, DownBlock, UpBlock
 
 
 class UNetGenerator(nn.Module):
@@ -53,9 +53,8 @@ class UNetGenerator(nn.Module):
         if cd is not None:
             x = x.astype(cd)  # activations flow in compute_dtype end-to-end
         fc = self.fast_conv
-        x = ConvND(64 // self.wf, 3, compute_dtype=cd, fast_conv=fc,
-                   name="stem")(x)
-        x = leaky_relu(x)
+        x = ConvActND(64 // self.wf, 3, compute_dtype=cd, fast_conv=fc,
+                      name="stem")(x)
 
         down1, skip0 = DownBlock(64 // self.wf, use_norm=False,
                                  compute_dtype=cd, fast_conv=fc,
@@ -70,9 +69,8 @@ class UNetGenerator(nn.Module):
         skip1c = crop_to_match(skip1, up1)
         x = jnp.concatenate([up1, skip1c], axis=-1)
 
-        x = ConvND(256 // self.wf, 3, compute_dtype=cd, fast_conv=fc,
-                   name="mid")(x)
-        x = leaky_relu(x)
+        x = ConvActND(256 // self.wf, 3, compute_dtype=cd, fast_conv=fc,
+                      name="mid")(x)
 
         up0 = UpBlock(64 // self.wf, use_norm=self.use_norm,
                       compute_dtype=cd, fast_conv=fc,
@@ -80,9 +78,8 @@ class UNetGenerator(nn.Module):
         skip0c = crop_to_match(skip0, up0)
         x = jnp.concatenate([up0, skip0c], axis=-1)
 
-        x = ConvND(128 // self.wf, 3, compute_dtype=cd, fast_conv=fc,
-                   name="head")(x)
-        x = leaky_relu(x)
+        x = ConvActND(128 // self.wf, 3, compute_dtype=cd, fast_conv=fc,
+                      name="head")(x)
         x = ConvND(1, 3, compute_dtype=cd, fast_conv=fc, name="out")(x)
         return x.astype(jnp.float32)
 

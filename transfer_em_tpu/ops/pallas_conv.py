@@ -195,3 +195,30 @@ def _bwd(res, g):
 
 
 tconv3_op.defvjp(_fwd, _bwd)
+
+LEAKY_SLOPE = 0.3  # Keras default, matching models.blocks
+
+
+@jax.custom_vjp
+def tconv3_act_op(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Conv + fused LeakyReLU(0.3) epilogue; pallas fwd, lax bwd."""
+    return tconv3(x, w, leaky=LEAKY_SLOPE)
+
+
+def _act_fwd(x, w):
+    return tconv3(x, w, leaky=LEAKY_SLOPE), (x, w)
+
+
+def _act_bwd(res, g):
+    x, w = res
+
+    def ref(x_, w_):
+        y = conv_nd(x_, w_, stride=1, padding="VALID")
+        return jnp.where(y >= 0, y, y * LEAKY_SLOPE)
+
+    _, vjp = jax.vjp(ref, x.astype(jnp.float32), w.astype(jnp.float32))
+    dx, dw = vjp(g.astype(jnp.float32))
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+tconv3_act_op.defvjp(_act_fwd, _act_bwd)
