@@ -417,15 +417,20 @@ class EM2EM:
                         pbar = tqdm.tqdm(total=num_samples)
                     except ImportError:
                         pass
+                # Accumulate the loss ON DEVICE and fetch once per epoch:
+                # fetching per step would synchronize the dispatch pipeline
+                # (~28 ms/step on remotely-attached TPUs, CLAUDE.md).
+                loss_acc = None
                 for data_f, data_g in zip(train_input, train_target):
-                    loss = loss + np.asarray(self.train_step(data_f, data_g))
+                    l = self.train_step(data_f, data_g)
+                    loss_acc = l if loss_acc is None else loss_acc + l
                     count += 1
                     if pbar is not None:
                         pbar.update(1)
                 if pbar is not None:
                     pbar.close()
                 if count:
-                    loss = loss / count
+                    loss = np.asarray(loss_acc) / count
                 print(f"Epoch {epoch+1} loss [g_gen_total, f_gen_total, "
                       f"disc_y, disc_x, g_gen_only, f_gen_only, cycle]: {loss}")
                 logger.log_epoch(epoch + 1, loss, time.time() - t0, count)
