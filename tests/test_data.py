@@ -193,3 +193,20 @@ def test_custom_map_fixed_across_epochs(rng):
     e1 = np.asarray(next(iter(ds)))
     e2 = np.asarray(next(iter(ds)))
     np.testing.assert_array_equal(e1, e2)
+
+
+def test_generator_source_errors_propagate(rng):
+    """A failing source must surface its exception, not silently truncate
+    the epoch (failure-detection parity: the reference raises through
+    tf.py_function)."""
+    def bad_source():
+        def it():
+            yield rng.integers(0, 255, size=(8, 8), dtype=np.uint8)
+            raise RuntimeError("fetch exploded")
+        return it()
+
+    ds, _ = create_dataset_from_generator(
+        bad_source, batch_size=1, epoch_size=4, meanstd=(0.0, 1.0),
+        fetch_threads=2)
+    with pytest.raises(RuntimeError, match="fetch exploded"):
+        list(ds)

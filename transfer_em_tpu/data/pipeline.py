@@ -305,11 +305,14 @@ def _threaded(elements_fn: Callable[[], Iterator[np.ndarray]],
         return
     q: "queue.Queue" = queue.Queue(maxsize=max(2 * num_threads, 8))
     _SENTINEL = object()
+    err: list = []
 
     def worker():
         try:
             for el in elements_fn():
                 q.put(el)
+        except BaseException as e:  # propagate source failures to the consumer
+            err.append(e)
         finally:
             q.put(_SENTINEL)
 
@@ -318,6 +321,8 @@ def _threaded(elements_fn: Callable[[], Iterator[np.ndarray]],
     while True:
         el = q.get()
         if el is _SENTINEL:
+            if err:
+                raise err[0]
             break
         yield el
 
