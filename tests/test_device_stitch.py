@@ -77,3 +77,20 @@ def test_slab_predict_matches_whole_shot(setup):
     y = apply_fn(params, xin)
     pred = np.asarray(postprocess_to_u8(y, ms_y))[0, :, :, :, 0]
     np.testing.assert_array_equal(got, pred[:80, :36, :40])
+
+
+def test_predict_volume_modes_agree(setup):
+    """predict_volume: 'device' and 'tiles' agree exactly; 'slab' agrees with
+    its aligned whole-shot (covered above) and matches shapes here."""
+    from transfer_em_tpu.infer import predict_volume
+    gen, params, vol = setup
+    apply_fn = lambda p, x: gen.apply(p, x)
+    args = (vol, apply_fn, params, (40, 40, 40), (36, 36, 36), (0.1, 0.9),
+            (0.05, 1.1))
+    a = predict_volume(*args, mode="device")
+    b = predict_volume(*args, mode="tiles")
+    c = predict_volume(*args, mode="slab")
+    np.testing.assert_array_equal(a, b)
+    assert c.shape == a.shape
+    with pytest.raises(ValueError):
+        predict_volume(*args, mode="nope")

@@ -8,3 +8,46 @@ __all__ = [
     "save_model", "TilePlan", "make_tile_step", "plan_tiles",
     "predict_ng_cube", "predict_tiled", "scatter_tiles",
 ]
+
+from .slab import slab_predict  # noqa: E402
+from .device_stitch import device_predict_tiled  # noqa: E402
+
+
+def predict_volume(vol_zyx, gen_apply, params, start, size,
+                   meanstd_x, meanstd_y, *, outdimsize=40, buffer=17,
+                   mode="slab", batch_size=8):
+    """Predict a region of an in-memory/HBM-resident uint8 zyx volume.
+
+    mode:
+      "slab"   — whole z-slab forwards (infer/slab.py), fewest kernels;
+      "device" — device-resident gather->predict->stitch tile scan;
+      "tiles"  — host-side tiled path (infer/tiling.py) via native gather.
+    All three share zero-halo-outside-volume semantics; slab uses its own
+    pooling-phase alignment (outputs can differ from the trimmed-tile grid by
+    bf16-level amounts at identical quality).
+    """
+    if mode == "slab":
+        return slab_predict(vol_zyx, gen_apply, params, start, size,
+                            meanstd_x, meanstd_y)
+    if mode == "device":
+        return device_predict_tiled(vol_zyx, gen_apply, params, start, size,
+                                    outdimsize, buffer, meanstd_x, meanstd_y,
+                                    batch_size=batch_size)
+    if mode == "tiles":
+        import numpy as _np
+
+        from ..native import gather_blocks
+        from .tiling import predict_tiled
+
+        vol = _np.ascontiguousarray(vol_zyx, _np.uint8)
+
+        def fetch_tile(corner, insize):
+            return gather_blocks(vol, [corner], insize)[0]
+
+        return predict_tiled(fetch_tile, gen_apply, params, start, size,
+                             outdimsize, buffer, meanstd_x, meanstd_y,
+                             batch_size=batch_size)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+__all__ += ["slab_predict", "device_predict_tiled", "predict_volume"]
