@@ -126,3 +126,24 @@ def test_em2em_to_mesh(tmp_path):
                     jax.tree.leaves(sharded.state.gg)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_halo_predict_2d():
+    """Halo-exchange sharding also works for 2D images (leading axis)."""
+    gen = UNetGenerator(wf=32)
+    buffer = generator_shapes(74).buffer
+    n_space = 4
+    slab = 40
+    Y = n_space * slab
+    rng = np.random.default_rng(9)
+    img = jnp.asarray(rng.normal(size=(Y, 74, 1)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), img[None, :74])
+
+    mesh = make_mesh(8, data=2, space=4)
+    got = halo_predict(lambda p, b: gen.apply(p, b), params, img, mesh, buffer)
+
+    padded = zero_pad(img[None], buffer)[:, :, buffer:-buffer]
+    want = gen.apply(params, padded)[0]
+    assert got.shape == want.shape == (Y, 40, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

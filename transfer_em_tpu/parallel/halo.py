@@ -35,15 +35,16 @@ from .mesh import SPACE_AXIS
 
 
 def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
-                    z_extent: int, n_space: int):
+                    z_extent: int, n_space: int, ndim_spatial: int = 3):
     """Build the jitted sharded predictor.
 
     Args:
       gen_apply: (params, batch) -> output, the generator forward.
-      z_extent: global z size of the input volume (sharded axis).
+      z_extent: global size of the sharded (leading) spatial axis.
       n_space: devices on the space axis.
+      ndim_spatial: 3 for volumes (Z, Y, X, 1), 2 for images (Y, X, 1).
     Returns:
-      f(params, vol) with vol (Z, Y, X, 1) z-sharded -> (Z, Y-2b, X-2b, 1).
+      f(params, vol) leading-axis sharded -> other spatial axes shrink by 2b.
     """
     assert z_extent % n_space == 0, (z_extent, n_space)
     slab = z_extent // n_space
@@ -67,10 +68,11 @@ def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
         out = gen_apply(params, ext[None])[0]
         return out
 
+    vol_spec = P(SPACE_AXIS, *([None] * ndim_spatial))  # + channel axis
     f = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), P(SPACE_AXIS, None, None, None)),
-        out_specs=P(SPACE_AXIS, None, None, None),
+        in_specs=(P(), vol_spec),
+        out_specs=vol_spec,
         check_rep=False,
     )
     return jax.jit(f)
@@ -78,8 +80,14 @@ def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
 
 def halo_predict(gen_apply: Callable, params, vol: jax.Array, mesh: Mesh,
                  buffer: int) -> jax.Array:
-    """One-shot convenience wrapper: shard vol over 'space' and predict."""
+    """One-shot convenience wrapper: shard vol over 'space' and predict.
+
+    vol: (Z, Y, X, 1) volume or (Y, X, 1) image; leading axis sharded.
+    """
     n_space = mesh.shape[SPACE_AXIS]
-    f = halo_predict_fn(gen_apply, mesh, buffer, vol.shape[0], n_space)
-    vol = jax.device_put(vol, NamedSharding(mesh, P(SPACE_AXIS, None, None, None)))
+    ndim_spatial = vol.ndim - 1
+    f = halo_predict_fn(gen_apply, mesh, buffer, vol.shape[0], n_space,
+                        ndim_spatial)
+    spec = P(SPACE_AXIS, *([None] * ndim_spatial))
+    vol = jax.device_put(vol, NamedSharding(mesh, spec))
     return f(params, vol)
