@@ -151,3 +151,15 @@ def test_bench_baseline_cache_read(tmp_path, monkeypatch):
         sys.path.remove("/root/repo")
     v = bench.measure_tf_reference()
     assert v > 0.01  # measured reference TF CPU throughput (tiles/s)
+
+
+def test_export_meta_reads_reference_style_json():
+    """A reference-produced meta.json (only buffer/outdimsize/meanstd_*,
+    utils.py:158-166) loads with our defaults for the added keys."""
+    legacy = ('{"buffer": 17, "outdimsize": 40, '
+              '"meanstd_x": [0.19801877, 0.1824518], '
+              '"meanstd_y": [0.06743993, 0.37753862]}')
+    m = ExportMeta.from_json(legacy)
+    assert m.buffer == 17 and m.outdimsize == 40
+    assert m.meanstd_x == (0.19801877, 0.1824518)
+    assert m.dimsize == 74 and m.is3d is True and m.wf == 8
