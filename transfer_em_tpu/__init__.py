@@ -18,10 +18,19 @@ from .version import __version__
 __all__ = ["shapes", "CycleGANConfig", "ExportMeta", "EM2EM", "__version__"]
 
 
+_LAZY = {
+    "EM2EM": ("transfer_em_tpu.train.cgan", "EM2EM"),
+    "predict_volume": ("transfer_em_tpu.infer", "predict_volume"),
+    "predict_ng_cube": ("transfer_em_tpu.infer.tiling", "predict_ng_cube"),
+    "save_model": ("transfer_em_tpu.infer.export", "save_model"),
+}
+
+
 def __getattr__(name):
-    # Lazy: importing EM2EM pulls in jax/flax/optax/orbax; keep bare package
-    # import light for TF-free clients (serve.client, cli help).
-    if name == "EM2EM":
-        from .train.cgan import EM2EM
-        return EM2EM
+    # Lazy: importing the train/infer stacks pulls in jax/flax/optax/orbax;
+    # keep bare package import light for TF-free clients (serve.client, cli).
+    if name in _LAZY:
+        import importlib
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
     raise AttributeError(name)
