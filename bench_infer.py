@@ -1,9 +1,20 @@
 """Secondary benchmark: tiled 3D inference throughput (Mvox/s).
 
-BASELINE.md config 5: large-subvolume tiled inference with VALID-conv
-overlap stitching.  Uses the device-resident stitcher (one jitted program:
-gather -> preprocess -> generator -> postprocess -> scatter) over an
-HBM-resident uint8 volume.
+BASELINE.md config 5: large-subvolume inference with VALID-conv overlap
+stitching.  Measures the device program over an **HBM-resident** uint8
+volume (upload once, predict many — the serving pattern), for both
+large-volume modes:
+
+  * slab   (infer/slab.py):          whole (74, Y, X) z-slab forwards
+  * device (infer/device_stitch.py): gather->predict->stitch tile scan
+
+and reports the faster as the metric.  Host<->device transfer is timed and
+logged separately on stderr: on this remotely-attached chip the tunnel
+moves ~15 MB/s (vs GB/s PCIe on a real TPU host), so folding it into the
+metric would benchmark the tunnel, not the program (PERF.md methodology).
+
+Each timed call fetches a device-side int32 checksum (value-fetch barrier;
+block_until_ready can return early here — see CLAUDE.md).
 
 Prints one JSON line {"metric": "tiled_inference_mvox_per_sec", ...}.
 (The driver's primary metric stays bench.py's train throughput.)
@@ -17,13 +28,25 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
+REPS = 3
+
 
 def main():
+    import signal
+
+    def _timeout(signum, frame):
+        print("# bench_infer watchdog: TPU/tunnel unresponsive for 40 min",
+              file=sys.stderr)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(40 * 60)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from transfer_em_tpu.infer.slab import slab_predict
+    from transfer_em_tpu.infer import predict_volume
     from transfer_em_tpu.models import UNetGenerator
 
     gen = UNetGenerator(wf=8, compute_dtype=jnp.bfloat16)
@@ -32,23 +55,48 @@ def main():
 
     rng = np.random.default_rng(0)
     # ~47 Mvox request: 360^3 output region from a 400^3 source volume
-    size = (360, 360, 360)
-    vol = rng.integers(0, 255, size=(400, 400, 400), dtype=np.uint8)
+    start, size = (20, 20, 20), (360, 360, 360)
+    vol_np = rng.integers(0, 255, size=(400, 400, 400), dtype=np.uint8)
     ms = (0.05, 0.9)
 
     t0 = time.perf_counter()
-    out = slab_predict(vol, apply_fn, params, (20, 20, 20), size, ms, ms)
-    warm = time.perf_counter() - t0  # includes compile
+    vol = jax.device_put(vol_np)
+    np.asarray(jnp.sum(vol, dtype=jnp.int32))
+    print(f"# upload 64 MB: {time.perf_counter() - t0:.1f}s (tunnel)",
+          file=sys.stderr)
+
+    checksum = jax.jit(lambda a: jnp.sum(a, dtype=jnp.int32))
+    nvox = int(np.prod(size))
+    best = None
+    for mode, kw in (("slab", {}), ("device", {"batch_size": 32})):
+        t0 = time.perf_counter()
+        out = predict_volume(vol, apply_fn, params, start, size, ms, ms,
+                             mode=mode, as_numpy=False, **kw)
+        np.asarray(checksum(out))
+        warm = time.perf_counter() - t0  # includes compile
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            out = predict_volume(vol, apply_fn, params, start, size, ms, ms,
+                                 mode=mode, as_numpy=False, **kw)
+            np.asarray(checksum(out))
+        dt = (time.perf_counter() - t0) / REPS
+        mvox = nvox / dt / 1e6
+        print(f"# {mode}: warm(compile) {warm:.1f}s, steady {dt:.2f}s "
+              f"-> {mvox:.1f} Mvox/s", file=sys.stderr)
+        if best is None or mvox > best[1]:
+            best = (mode, mvox)
+
     t0 = time.perf_counter()
-    out = slab_predict(vol, apply_fn, params, (20, 20, 20), size, ms, ms)
-    dt = time.perf_counter() - t0
-    mvox = out.size / dt / 1e6
-    print(f"# warm(compile) {warm:.1f}s, steady {dt:.2f}s", file=sys.stderr)
+    _ = np.asarray(out)
+    print(f"# download 46 MB: {time.perf_counter() - t0:.1f}s (tunnel)",
+          file=sys.stderr)
+
     print(json.dumps({
         "metric": "tiled_inference_mvox_per_sec",
-        "value": round(mvox, 2),
+        "value": round(best[1], 2),
         "unit": "Mvox/s",
         "vs_baseline": None,
+        "note": f"mode={best[0]}, HBM-resident 360^3 request",
     }))
 
 

@@ -15,24 +15,30 @@ from .device_stitch import device_predict_tiled  # noqa: E402
 
 def predict_volume(vol_zyx, gen_apply, params, start, size,
                    meanstd_x, meanstd_y, *, outdimsize=40, buffer=17,
-                   mode="slab", batch_size=8):
+                   mode="device", batch_size=32, as_numpy=True):
     """Predict a region of an in-memory/HBM-resident uint8 zyx volume.
 
     mode:
-      "slab"   — whole z-slab forwards (infer/slab.py), fewest kernels;
-      "device" — device-resident gather->predict->stitch tile scan;
+      "device" — device-resident gather->predict->stitch tile scan
+                 (default: fastest measured, 72.8 Mvox/s at B=32 on v5e,
+                 and bit-identical to the reference's trimmed tile grid);
+      "slab"   — whole z-slab forwards (infer/slab.py), fewest kernels,
+                 lower HBM watermark for huge XY extents;
       "tiles"  — host-side tiled path (infer/tiling.py) via native gather.
     All three share zero-halo-outside-volume semantics; slab uses its own
     pooling-phase alignment (outputs can differ from the trimmed-tile grid by
     bf16-level amounts at identical quality).
+
+    For slab/device modes a jax-array ``vol_zyx`` is used in place (upload
+    once, predict many) and ``as_numpy=False`` keeps the result on device.
     """
     if mode == "slab":
         return slab_predict(vol_zyx, gen_apply, params, start, size,
-                            meanstd_x, meanstd_y)
+                            meanstd_x, meanstd_y, as_numpy=as_numpy)
     if mode == "device":
         return device_predict_tiled(vol_zyx, gen_apply, params, start, size,
                                     outdimsize, buffer, meanstd_x, meanstd_y,
-                                    batch_size=batch_size)
+                                    batch_size=batch_size, as_numpy=as_numpy)
     if mode == "tiles":
         import numpy as _np
 

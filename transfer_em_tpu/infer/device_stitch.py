@@ -43,11 +43,15 @@ def device_predict_tiled(
         outdimsize: int, buffer: int,
         meanstd_x, meanstd_y,
         batch_size: int = 8,
-        donate_volume: bool = False) -> np.ndarray:
+        donate_volume: bool = False,
+        as_numpy: bool = True):
     """Tiled inference over a device-resident uint8 zyx volume.
 
     Args/semantics match infer.tiling.predict_tiled with an in-memory source:
     OOB halos read zeros.  Returns the stitched zyx uint8 block of ``size``.
+    A numpy ``vol_zyx`` is uploaded via ``jax.device_put``; pass a jax array
+    to reuse an already-resident volume.  ``as_numpy=False`` skips the D2H
+    copy and returns the device array.
     """
     del donate_volume  # reserved
     plan = plan_tiles(start, size, outdimsize, buffer)
@@ -56,7 +60,11 @@ def device_predict_tiled(
     # Pad by the tile size so every (corner - buffer) index is in range,
     # reproducing gather_blocks' zero-fill OOB semantics.
     pad = insize
-    vol = jnp.pad(jnp.asarray(vol_zyx, jnp.uint8), [(pad, pad)] * 3)
+    if isinstance(vol_zyx, jax.Array):
+        vol = vol_zyx.astype(jnp.uint8)
+    else:
+        vol = jax.device_put(np.ascontiguousarray(vol_zyx, np.uint8))
+    vol = _pad3(vol, pad=pad)
 
     corners = np.asarray(plan.corners, np.int64)  # (T, 3) xyz
     corners_zyx = corners[:, ::-1] + pad
@@ -74,21 +82,26 @@ def device_predict_tiled(
     corners_d = jnp.asarray(corners_zyx.reshape(nb, B, 3))
     indices_d = jnp.asarray(indices_zyx.reshape(nb, B, 3))
 
+    sx, sy, sz = size
     out = _run(vol, params, corners_d, indices_d,
                gen_apply=gen_apply, insize=insize, tpad=plan.tpad,
-               batch=B, out_shape=plan.padded_size,
+               batch=B, out_shape=plan.padded_size, crop=(sz, sy, sx),
                meanstd_x=tuple(meanstd_x) if meanstd_x else None,
                meanstd_y=tuple(meanstd_y) if meanstd_y else None)
-    sx, sy, sz = size
-    return np.asarray(out)[:sz, :sy, :sx]
+    return np.asarray(out) if as_numpy else out
+
+
+@functools.partial(jax.jit, static_argnames=("pad",))
+def _pad3(vol, *, pad):
+    return jnp.pad(vol, [(pad, pad)] * 3)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("gen_apply", "insize", "tpad", "batch", "out_shape",
-                     "meanstd_x", "meanstd_y"))
+                     "crop", "meanstd_x", "meanstd_y"))
 def _run(vol, params, corners_d, indices_d, *, gen_apply, insize, tpad,
-         batch, out_shape, meanstd_x, meanstd_y):
+         batch, out_shape, crop, meanstd_x, meanstd_y):
     def step(out, batch_args):
         cz, iz = batch_args
 
@@ -116,4 +129,5 @@ def _run(vol, params, corners_d, indices_d, *, gen_apply, insize, tpad,
 
     out0 = jnp.zeros(out_shape, jnp.uint8)
     out, _ = jax.lax.scan(step, out0, (corners_d, indices_d))
-    return out
+    sz, sy, sx = crop
+    return out[:sz, :sy, :sx]
