@@ -94,3 +94,19 @@ def test_predict_volume_modes_agree(setup):
     assert c.shape == a.shape
     with pytest.raises(ValueError):
         predict_volume(*args, mode="nope")
+
+
+def test_predict_volume_device_resident_roundtrip(setup):
+    """A jax-array source (upload-once serving pattern) and as_numpy=False
+    produce the same voxels as the numpy path, for both device modes."""
+    from transfer_em_tpu.infer import predict_volume
+    gen, params, vol = setup
+    apply_fn = lambda p, x: gen.apply(p, x)
+    vol_d = jax.device_put(vol)
+    for mode in ("device", "slab"):
+        args = (apply_fn, params, (40, 40, 40), (36, 36, 36), (0.1, 0.9),
+                (0.05, 1.1))
+        want = predict_volume(vol, *args, mode=mode)
+        got = predict_volume(vol_d, *args, mode=mode, as_numpy=False)
+        assert isinstance(got, jax.Array) and got.dtype == jnp.uint8
+        np.testing.assert_array_equal(np.asarray(got), want)

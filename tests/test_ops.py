@@ -192,6 +192,38 @@ def test_conv_transpose_is_adjoint_of_same_conv(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_conv_transpose_phase_decomposition_matches(rng):
+    """The subpixel/phase formulation (one k=3 conv + interleave, the TPU
+    fast path) equals the lhs_dilation formulation, 2D and 3D, values and
+    gradients."""
+    for shape, kshape in (((2, 5, 5, 3), (4, 4, 3, 2)),
+                          ((2, 5, 6, 7, 3), (4, 4, 4, 3, 2))):
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=kshape).astype(np.float32))
+        ref = conv_transpose_nd(x, k, stride=2, phase_decompose=False)
+        got = conv_transpose_nd(x, k, stride=2, phase_decompose=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(fn):
+            return lambda x_, k_: jnp.sum(
+                conv_transpose_nd(x_, k_, stride=2, phase_decompose=fn) ** 2)
+
+        gx_r, gk_r = jax.grad(loss(False), argnums=(0, 1))(x, k)
+        gx_p, gk_p = jax.grad(loss(True), argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_r),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_conv_transpose_phase_rejects_unsupported():
+    x = jnp.zeros((1, 5, 5, 2))
+    k3 = jnp.zeros((3, 3, 2, 2))
+    with pytest.raises(ValueError):
+        conv_transpose_nd(x, k3, stride=2, phase_decompose=True)
+
+
 # ---------------------------------------------------------------- augment
 
 def test_augment_deterministic_per_key(rng):

@@ -83,7 +83,8 @@ def same_transpose_padding(k: int, s: int) -> Tuple[int, int]:
 
 def conv_transpose_nd(x: jax.Array, kernel: jax.Array, *,
                       stride: int = 2,
-                      compute_dtype: Optional[jnp.dtype] = None) -> jax.Array:
+                      compute_dtype: Optional[jnp.dtype] = None,
+                      phase_decompose: Optional[bool] = None) -> jax.Array:
     """TF-exact stride-s SAME transposed conv, channels last.
 
     Args:
@@ -91,10 +92,24 @@ def conv_transpose_nd(x: jax.Array, kernel: jax.Array, *,
       kernel: (*spatial_k, Cin, Cout) in the *transpose* direction (i.e. maps
         Cin -> Cout).  TF's ``Conv2DTranspose`` stores (k, k, Cout, Cin); to
         import TF weights, transpose the last two axes.
+      phase_decompose: use the subpixel/phase formulation (one stride-1 k=3
+        conv with 2^nd * Cout output channels instead of an input-dilated
+        k=4 conv).  Mathematically identical (summation order differs at
+        float rounding level).  Measured 1.5-1.8x faster STANDALONE on TPU
+        at B=128, but a net loss in-context (train step 237 vs 247 tiles/s,
+        device inference 69 vs 73 Mvox/s): the pad/transpose interleave
+        breaks XLA's fusion with neighboring ops — same composition failure
+        as the Pallas Toeplitz conv (PERF.md).  Default OFF; opt-in knob.
 
     Output spatial size = input * stride.
     """
     ndim = x.ndim - 2
+    if phase_decompose is None:
+        phase_decompose = False
+    if phase_decompose:
+        if stride != 2 or kernel.shape[0] != 4:
+            raise ValueError("phase_decompose supports stride=2, k=4 only")
+        return _conv_transpose_phase(x, kernel, compute_dtype=compute_dtype)
     dn = _dim_numbers(ndim)
     k = kernel.shape[0]
     pad = same_transpose_padding(k, stride)
@@ -115,6 +130,63 @@ def conv_transpose_nd(x: jax.Array, kernel: jax.Array, *,
         dimension_numbers=dn,
         preferred_element_type=jnp.float32,
     )
+
+
+def _conv_transpose_phase(x: jax.Array, kernel: jax.Array, *,
+                          compute_dtype: Optional[jnp.dtype] = None) -> jax.Array:
+    """Stride-2 SAME k=4 transposed conv via subpixel phase decomposition.
+
+    1D adjoint algebra of the TF SAME stride-2 k=4 forward conv
+    (z[i] = sum_t x[2i+t-1] w[t]):
+
+        y[2m]   = x[m-1] w[3] + x[m] w[1]      (even phase)
+        y[2m+1] = x[m]   w[2] + x[m+1] w[0]    (odd phase)
+
+    i.e. each output phase is a 2-tap stride-1 conv over x.  All 2^nd phases
+    are fused into ONE k=3 VALID conv over x padded by 1 (the odd phase's
+    window {m+1, m+2} sits inside the k=3 window) with 2^nd * Cout output
+    channels — wide enough to fill MXU lanes — then interleaved by reshape.
+    Equivalent to the lhs_dilation formulation to float rounding (verified
+    in tests/test_ops.py); 1.5-1.8x faster on TPU at B>=64 (PERF.md).
+    """
+    import itertools
+
+    ndim = x.ndim - 2
+    cin, cout = kernel.shape[-2], kernel.shape[-1]
+    nphase = 2 ** ndim
+    k3 = jnp.zeros((3,) * ndim + (cin, cout * nphase), kernel.dtype)
+    # per-axis: even phase -> taps {offset 0: w[3], 1: w[1]};
+    #           odd  phase -> taps {offset 1: w[2], 2: w[0]}
+    tapmap = ({0: 3, 1: 1}, {1: 2, 2: 0})
+    for phases in itertools.product((0, 1), repeat=ndim):
+        pidx = 0
+        for p in phases:
+            pidx = pidx * 2 + p
+        for offs in itertools.product(*[tapmap[p] for p in phases]):
+            wtaps = tuple(tapmap[p][o] for p, o in zip(phases, offs))
+            k3 = k3.at[offs + (slice(None),
+                               slice(pidx * cout, (pidx + 1) * cout))].add(
+                kernel[wtaps])
+    dn = _dim_numbers(ndim)
+    xp = jnp.pad(x, [(0, 0)] + [(1, 1)] * ndim + [(0, 0)])
+    if compute_dtype is not None:
+        xp = xp.astype(compute_dtype)
+        k3 = k3.astype(compute_dtype)
+        y = lax.conv_general_dilated(xp, k3, window_strides=(1,) * ndim,
+                                     padding="VALID", dimension_numbers=dn)
+    else:
+        y = lax.conv_general_dilated(xp, k3, window_strides=(1,) * ndim,
+                                     padding="VALID", dimension_numbers=dn,
+                                     preferred_element_type=jnp.float32)
+    bsz = x.shape[0]
+    sp = x.shape[1:-1]
+    y = y.reshape((bsz,) + sp + (2,) * ndim + (cout,))
+    perm = [0]
+    for i in range(ndim):
+        perm += [1 + i, 1 + ndim + i]  # (m, phase) pairs per axis
+    perm += [1 + 2 * ndim]
+    y = y.transpose(perm)
+    return y.reshape((bsz,) + tuple(2 * s for s in sp) + (cout,))
 
 
 def center_crop(x: jax.Array, crop: int | Sequence[int]) -> jax.Array:
