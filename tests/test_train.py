@@ -145,6 +145,31 @@ def test_batched_apps_equivalent_when_deterministic(setup):
                                        rtol=5e-4, atol=1e-7)
 
 
+def test_remat_identical_losses_and_grads(setup):
+    """remat=True (jax.checkpoint around generator applies) must be a pure
+    memory/recompute trade: same losses, same gradients, same dropout
+    masks (checkpoint replays the same PRNG keys)."""
+    cfg, gen, disc_x, disc_y, state, x, y = setup
+    buffer = generator_shapes(cfg.dimsize).buffer
+    rng = jax.random.PRNGKey(11)
+
+    def make(remat):
+        return lambda gg, gf, dx, dy: cyclegan_losses(
+            gen, disc_x, disc_y, buffer, cfg.focal_gamma,
+            gg, gf, dx, dy, x, y, rng, remat=remat)
+
+    (g0, l0), (g1, l1) = [
+        jax.jit(lambda gg, gf, dx, dy, f=make(r): jax.grad(
+            f, argnums=(0, 1, 2, 3), has_aux=True)(gg, gf, dx, dy))(
+                state.gg, state.gf, state.dx, state.dy)
+        for r in (False, True)]
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_loss_vector_matches_reference_structure(setup):
     cfg, gen, disc_x, disc_y, state, x, y = setup
     buffer = generator_shapes(cfg.dimsize).buffer

@@ -25,6 +25,9 @@ class CycleGANConfig:
     adam_beta1: float = 0.5
     compute_dtype: str = "float32"  # "bfloat16" for full MXU rate on TPU
     fast_conv: bool = False         # experimental Pallas Toeplitz conv (PERF.md)
+    remat: bool = False             # rematerialize generator applies in the
+    # train step (jax.checkpoint): trades recompute for activation memory,
+    # unlocking larger batches (PERF.md "remat" section)
     # dataset knobs (reference datasets.py:10-12)
     batch_size: int = 64
     epoch_size: int = 4096

@@ -137,7 +137,8 @@ def cyclegan_losses(gen: UNetGenerator, disc_x: Discriminator,
                     real_x: jax.Array, real_y: jax.Array,
                     rng: jax.Array, *,
                     batched_apps: bool = True,
-                    deterministic: bool = False) -> Tuple[jax.Array, LossVector]:
+                    deterministic: bool = False,
+                    remat: bool = False) -> Tuple[jax.Array, LossVector]:
     """One combined scalar whose per-subtree gradients equal the reference's
     four ``tape.gradient`` calls (cgan.py:144-215).  See module docstring.
 
@@ -148,6 +149,10 @@ def cyclegan_losses(gen: UNetGenerator, disc_x: Discriminator,
     gradient-equivalence test).
     deterministic: disable dropout (testing only; training always uses
     dropout like the reference's training=True calls, cgan.py:152).
+    remat: wrap each generator application in ``jax.checkpoint`` so its
+    internal activations are recomputed in the backward pass instead of
+    stored — cuts peak HBM roughly by the U-Net activation footprint,
+    unlocking ~2x larger batches (PERF.md).  Identical math/gradients.
 
     Returns (combined_scalar, loss_vector_7).
     """
@@ -161,6 +166,9 @@ def cyclegan_losses(gen: UNetGenerator, disc_x: Discriminator,
         if deterministic:
             return gen.apply(params, x)
         return gen.apply(params, x, deterministic=False, rngs={"dropout": k})
+
+    if remat:
+        g = jax.checkpoint(g)
 
     real_x_c = center_crop(real_x, buffer)
     real_y_c = center_crop(real_y, buffer)
@@ -240,7 +248,8 @@ def build_step_fn(config: CycleGANConfig,
     opt = make_optimizer(config.learning_rate, config.adam_beta1)
 
     loss_fn = functools.partial(cyclegan_losses, gen, disc_x, disc_y,
-                                buffer, gamma, batched_apps=batched_apps)
+                                buffer, gamma, batched_apps=batched_apps,
+                                remat=config.remat)
 
     def step(state: CycleGANState, real_x, real_y, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -292,11 +301,11 @@ class EM2EM:
                  disc_prior: Optional[Callable] = None,
                  compute_dtype: str = "float32",
                  checkpoint_root: str = "./checkpoints",
-                 seed: int = 0):
+                 seed: int = 0, remat: bool = False):
         del norm_type  # DEPRECATED upstream (cgan.py:47); norms stay disabled
         self.config = CycleGANConfig(
             dimsize=dimsize, is3d=is3d, wf=wf, focal_gamma=focal_gamma,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, remat=remat)
         self.exp_name = exp_name
         shapes = generator_shapes(dimsize)
         assert shapes.out % 2 == 0  # cgan.py:64
