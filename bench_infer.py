@@ -68,7 +68,7 @@ def main():
     checksum = jax.jit(lambda a: jnp.sum(a, dtype=jnp.int32))
     nvox = int(np.prod(size))
     best = None
-    for mode, kw in (("slab", {}), ("device", {"batch_size": 32})):
+    for mode, kw in (("slab", {}), ("device", {"batch_size": 128})):
         t0 = time.perf_counter()
         out = predict_volume(vol, apply_fn, params, start, size, ms, ms,
                              mode=mode, as_numpy=False, **kw)

@@ -15,12 +15,12 @@ from .device_stitch import device_predict_tiled  # noqa: E402
 
 def predict_volume(vol_zyx, gen_apply, params, start, size,
                    meanstd_x, meanstd_y, *, outdimsize=40, buffer=17,
-                   mode="device", batch_size=32, as_numpy=True):
+                   mode="device", batch_size=128, as_numpy=True):
     """Predict a region of an in-memory/HBM-resident uint8 zyx volume.
 
     mode:
       "device" — device-resident gather->predict->stitch tile scan
-                 (default: fastest measured, 72.8 Mvox/s at B=32 on v5e,
+                 (default: fastest measured, 196 Mvox/s at B=128 on v5e,
                  and bit-identical to the reference's trimmed tile grid);
       "slab"   — whole z-slab forwards (infer/slab.py), fewest kernels,
                  lower HBM watermark for huge XY extents;
