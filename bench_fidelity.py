@@ -1,0 +1,88 @@
+"""Benchmark: output fidelity vs the frozen TF reference (PSNR, dB).
+
+Prints ONE JSON line:
+  {"metric": "golden_psnr_db_min", "value": N, "unit": "dB", "vs_baseline": N}
+
+value = the minimum PSNR across the four frozen golden fixtures
+(generator 2D/3D, discriminator 2D/3D: reference weights + reference input
+-> reference output, captured once from janelia-flyem/transfer_em with TF).
+vs_baseline = value / 40 dB, the BASELINE.md fidelity bar ("PSNR vs TF
+reference >= 40 dB"); >= 1.0 passes.
+
+This is the numeric complement to the throughput benchmarks (bench.py,
+bench_infer.py): it proves the speed is of the *same function* the
+reference computes (reference models/generator.py:22, discriminator.py:14).
+
+Run: python bench_fidelity.py              (default platform: the TPU chip)
+     JAX_PLATFORMS=cpu python bench_fidelity.py
+"""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tests"))
+
+PSNR_BAR_DB = 40.0
+
+
+def main():
+    # sitecustomize pins jax_platforms='axon,cpu'; honor an explicit env var
+    # (CLAUDE.md environment notes).
+    want = os.environ.get("JAX_PLATFORMS")
+    import jax
+    if want:
+        try:
+            if jax.config.jax_platforms != want:
+                jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+    # Default TPU matmul precision (bf16 passes) gives ~51 dB vs the f32
+    # reference — above the bar.  TEM_FIDELITY_PRECISION=highest uses f32
+    # accumulation throughout (~142 dB, matching CPU) at ~2-6x conv cost.
+    prec = os.environ.get("TEM_FIDELITY_PRECISION")
+    if prec:
+        jax.config.update("jax_default_matmul_precision", prec)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from golden_utils import (DISC_ORDER_2D, DISC_ORDER_3D, GEN_ORDER,
+                              assign_weights, load_golden, psnr)
+    from transfer_em_tpu.models import Discriminator, UNetGenerator
+
+    results = {}
+    for tag in ("2d", "3d"):
+        x, want, weights = load_golden(f"gen_{tag}")
+        gen = UNetGenerator(wf=8)
+        params = gen.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        params = assign_weights(params, GEN_ORDER, weights)
+        got = np.asarray(jax.jit(gen.apply)(params, jnp.asarray(x)))
+        results[f"gen_{tag}"] = psnr(got, want)
+
+        x, want, weights = load_golden(f"disc_{tag}")
+        disc = Discriminator(is3d=(tag == "3d"), wf=8)
+        params = disc.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        order = DISC_ORDER_3D if tag == "3d" else DISC_ORDER_2D
+        params = assign_weights(params, order, weights)
+        got = np.asarray(jax.jit(disc.apply)(params, jnp.asarray(x)))
+        results[f"disc_{tag}"] = psnr(got, want)
+
+    for name, value in sorted(results.items()):
+        print(f"# {name}: {value:.2f} dB on {jax.devices()[0].platform}",
+              file=sys.stderr)
+    worst = min(results.values())
+    print(json.dumps({
+        "metric": "golden_psnr_db_min",
+        "value": round(worst, 2),
+        "unit": "dB",
+        "vs_baseline": round(worst / PSNR_BAR_DB, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -9,6 +9,11 @@ shifted, overlapping requests agree on their overlap.
 Run:  python examples/cloudrun_test_3d.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from transfer_em_tpu.data import create_dataset_from_generator, volume3d_ng

@@ -10,7 +10,10 @@ Run:  python examples/generator_training_3d.py <locationX> <locationY> [cloudrun
        or '/path/vol.npy' via the serve backend registry)
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from transfer_em_tpu.data import (create_dataset_from_generator, volume3d_ng,
                                   zip_datasets)

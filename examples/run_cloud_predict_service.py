@@ -9,8 +9,12 @@ cloud.
 Run:  python examples/run_cloud_predict_service.py
 """
 
-import gzip
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import gzip
 import tempfile
 
 import jax

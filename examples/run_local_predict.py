@@ -4,7 +4,10 @@
 Run:  python examples/run_local_predict.py <ckpt_step> [exp_name]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -8,7 +8,10 @@ crop 74x74 windows.
 Run:  python examples/simple_training_2d.py [epochs]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

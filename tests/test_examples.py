@@ -2,7 +2,21 @@
 
 import sys
 
+import numpy as np
 import pytest
+
+
+def test_streaming_training_3d_local(tmp_path, monkeypatch):
+    """Recipe 2b: HTTP-streamed 3D training end-to-end, zero cloud deps."""
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        import streaming_training_3d_local as ex
+    finally:
+        sys.path.remove("/root/repo/examples")
+    rmse = ex.main(epochs=1, wf=32, batch_size=1, epoch_size=2, extent=100,
+                   exp_name="stream3d_smoke")
+    assert np.isfinite(rmse)
 
 
 def test_simple_training_2d(tmp_path, monkeypatch):

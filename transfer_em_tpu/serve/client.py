@@ -33,6 +33,11 @@ def predict_cloud(project: str, model: str, location: str, cloudrun: str,
     if "error" in response:
         raise RuntimeError(response["error"])
     data_str = response["predictions"]
+    if isinstance(data_str, str):
+        # JSON transports deliver base64 as str; the reference passes it to
+        # decodebytes unencoded (predict_cloud.py:50-51), which only accepts
+        # bytes — encode first (deliberate fix, behavior otherwise identical).
+        data_str = data_str.encode("ascii")
     array = np.frombuffer(base64.decodebytes(data_str), dtype=np.uint8)
     return array.reshape(tuple(reversed(size)))
 
