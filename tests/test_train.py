@@ -145,6 +145,51 @@ def test_batched_apps_equivalent_when_deterministic(setup):
                                        rtol=5e-4, atol=1e-7)
 
 
+def test_ensemble_apps_equivalent(setup):
+    """ensemble_apps (stacked G/F and Dx/Dy param trees, one vmapped apply
+    per round) == batched_apps for values and gradients.  With the same rng
+    the dropout keys per application line up exactly, so this holds with
+    dropout ON; tolerances cover grouped-conv lowering numerics."""
+    cfg, gen, disc_x, disc_y, state, x, y = setup
+    buffer = generator_shapes(cfg.dimsize).buffer
+    rng = jax.random.PRNGKey(13)
+
+    def make(ensemble):
+        return lambda gg, gf, dx, dy: cyclegan_losses(
+            gen, disc_x, disc_y, buffer, cfg.focal_gamma,
+            gg, gf, dx, dy, x, y, rng, ensemble_apps=ensemble)
+
+    (ge, ve) = jax.grad(make(True), argnums=(0, 1, 2, 3), has_aux=True)(
+        state.gg, state.gf, state.dx, state.dy)
+    (gb, vb) = jax.grad(make(False), argnums=(0, 1, 2, 3), has_aux=True)(
+        state.gg, state.gf, state.dx, state.dy)
+    np.testing.assert_allclose(np.asarray(ve), np.asarray(vb),
+                               rtol=1e-5, atol=1e-6)
+    for te, tb in zip(ge, gb):
+        for a, b in zip(jax.tree.leaves(te), jax.tree.leaves(tb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-6)
+
+
+def test_ensemble_apps_with_disc_prior_falls_back(setup):
+    """With a disc_prior, Dx/Dy param trees differ — ensemble mode must
+    still work by stacking only the generators."""
+    cfg, gen, disc_x, _, state, x, y = setup
+    from transfer_em_tpu.train.cgan import build_models
+
+    # Prior output must spatially match the post-down2 feature map
+    # (40 -> hack 38 -> conv 36 -> stride2 17 for the 2D disc).
+    prior = lambda t: jax.lax.stop_gradient(t[:, :34:2, :34:2, :])
+    _, _, disc_yp = build_models(cfg, disc_prior=prior)
+    dyp = disc_yp.init(jax.random.PRNGKey(9),
+                       jnp.zeros((1, 40, 40, 1), jnp.float32))
+    buffer = generator_shapes(cfg.dimsize).buffer
+    _, vec = cyclegan_losses(gen, disc_x, disc_yp, buffer, cfg.focal_gamma,
+                             state.gg, state.gf, state.dx, dyp, x, y,
+                             jax.random.PRNGKey(0), ensemble_apps=True)
+    assert np.all(np.isfinite(np.asarray(vec)))
+
+
 def test_remat_identical_losses_and_grads(setup):
     """remat=True (jax.checkpoint around generator applies) must be a pure
     memory/recompute trade: same losses, same gradients, same dropout

@@ -28,6 +28,9 @@ class CycleGANConfig:
     remat: bool = False             # rematerialize generator applies in the
     # train step (jax.checkpoint): trades recompute for activation memory,
     # unlocking larger batches (PERF.md "remat" section)
+    ensemble_apps: bool = False     # stack G/F (and Dx/Dy) param trees and
+    # run each train-step round as one vmapped apply (grouped convs, half
+    # the program count) — see cyclegan_losses(ensemble_apps=...)
     # dataset knobs (reference datasets.py:10-12)
     batch_size: int = 64
     epoch_size: int = 4096

@@ -137,6 +137,7 @@ def cyclegan_losses(gen: UNetGenerator, disc_x: Discriminator,
                     real_x: jax.Array, real_y: jax.Array,
                     rng: jax.Array, *,
                     batched_apps: bool = True,
+                    ensemble_apps: bool = False,
                     deterministic: bool = False,
                     remat: bool = False) -> Tuple[jax.Array, LossVector]:
     """One combined scalar whose per-subtree gradients equal the reference's
@@ -147,6 +148,13 @@ def cyclegan_losses(gen: UNetGenerator, disc_x: Discriminator,
     — same math, fewer/larger kernels on the MXU.  False reproduces the
     reference's application-by-application structure (used by the
     gradient-equivalence test).
+    ensemble_apps: additionally stack the G/F (and Dx/Dy) parameter trees —
+    the two networks share one architecture — and run each round as ONE
+    vmapped apply over the stacked params (4 gen + 4 disc applies -> 2 + 2;
+    JAX's conv batch rule lowers this to grouped convs with 2x channels per
+    call).  Same math as batched_apps; requires disc_prior-free discs
+    (disc_y with a prior has a different param tree, so only the generators
+    are stacked in that case).  Implies batched_apps.
     deterministic: disable dropout (testing only; training always uses
     dropout like the reference's training=True calls, cgan.py:152).
     remat: wrap each generator application in ``jax.checkpoint`` so its
@@ -175,7 +183,24 @@ def cyclegan_losses(gen: UNetGenerator, disc_x: Discriminator,
     real_x_c2 = center_crop(real_x, buffer * 2)
     real_y_c2 = center_crop(real_y, buffer * 2)
 
-    if batched_apps:
+    # Dx/Dy stack only when their param trees match exactly (a disc_prior
+    # widens disc_y's post-concat convs: same structure, different shapes).
+    same_tree = (jax.tree.structure(dx) == jax.tree.structure(dy)
+                 and all(a.shape == b.shape for a, b in
+                         zip(jax.tree.leaves(dx), jax.tree.leaves(dy))))
+    if ensemble_apps:
+        # Stacked G/F: one vmapped apply per round (2 gen applies total).
+        st_gen = jax.tree.map(lambda a, b: jnp.stack([a, b]), gg, gf)
+        gens = jax.vmap(g)
+        in1 = jnp.stack([jnp.concatenate([real_x, real_y], 0),
+                         jnp.concatenate([real_y, real_x], 0)])
+        out1 = gens(st_gen, in1, jnp.stack([ks[0], ks[1]]))
+        fake_y, same_y = out1[0, :B], out1[0, B:]
+        fake_x, same_x = out1[1, :B], out1[1, B:]
+        in2 = jnp.stack([zero_pad(fake_x, buffer), zero_pad(fake_y, buffer)])
+        out2 = gens(st_gen, in2, jnp.stack([ks[2], ks[3]]))
+        cycled_y, cycled_x = out2[0], out2[1]
+    elif batched_apps:
         # Round 1: everything derivable from the real images, one apply per
         # network at batch 2B.
         out_g1 = g(gg, jnp.concatenate([real_x, real_y], 0), ks[0])
@@ -202,18 +227,31 @@ def cyclegan_losses(gen: UNetGenerator, disc_x: Discriminator,
     # adversarial losses (grad -> generator, disc frozen), once for the
     # discriminator losses (grad -> disc, fake detached).  Forward values
     # are identical; XLA CSEs the duplicate computation.
-    if batched_apps:
-        out_dx = disc_x.apply(dx, jnp.concatenate([real_x_c, sg(fake_x)], 0))
-        disc_real_x, disc_fake_x_d = out_dx[:B], out_dx[B:]
-        out_dy = disc_y.apply(dy, jnp.concatenate([real_y_c, sg(fake_y)], 0))
-        disc_real_y, disc_fake_y_d = out_dy[:B], out_dy[B:]
+    if ensemble_apps and same_tree:
+        # Stacked Dx/Dy (identical trees when disc_prior is None).
+        st_disc = jax.tree.map(lambda a, b: jnp.stack([a, b]), dx, dy)
+        st_disc_f = jax.tree.map(sg, st_disc)
+        discs = jax.vmap(disc_x.apply)
+        din = jnp.stack([jnp.concatenate([real_x_c, sg(fake_x)], 0),
+                         jnp.concatenate([real_y_c, sg(fake_y)], 0)])
+        dout = discs(st_disc, din)
+        disc_real_x, disc_fake_x_d = dout[0, :B], dout[0, B:]
+        disc_real_y, disc_fake_y_d = dout[1, :B], dout[1, B:]
+        gout = discs(st_disc_f, jnp.stack([fake_x, fake_y]))
+        disc_fake_x_gen, disc_fake_y_gen = gout[0], gout[1]
     else:
-        disc_real_x = disc_x.apply(dx, real_x_c)
-        disc_real_y = disc_y.apply(dy, real_y_c)
-        disc_fake_x_d = disc_x.apply(dx, sg(fake_x))
-        disc_fake_y_d = disc_y.apply(dy, sg(fake_y))
-    disc_fake_x_gen = disc_x.apply(dx_f, fake_x)
-    disc_fake_y_gen = disc_y.apply(dy_f, fake_y)
+        if batched_apps or ensemble_apps:
+            out_dx = disc_x.apply(dx, jnp.concatenate([real_x_c, sg(fake_x)], 0))
+            disc_real_x, disc_fake_x_d = out_dx[:B], out_dx[B:]
+            out_dy = disc_y.apply(dy, jnp.concatenate([real_y_c, sg(fake_y)], 0))
+            disc_real_y, disc_fake_y_d = out_dy[:B], out_dy[B:]
+        else:
+            disc_real_x = disc_x.apply(dx, real_x_c)
+            disc_real_y = disc_y.apply(dy, real_y_c)
+            disc_fake_x_d = disc_x.apply(dx, sg(fake_x))
+            disc_fake_y_d = disc_y.apply(dy, sg(fake_y))
+        disc_fake_x_gen = disc_x.apply(dx_f, fake_x)
+        disc_fake_y_gen = disc_y.apply(dy_f, fake_y)
 
     # --- losses (reference cgan.py:192-203) ---
     gen_g_loss = L.generator_adv_loss(disc_fake_y_gen, gamma=gamma)
@@ -249,6 +287,7 @@ def build_step_fn(config: CycleGANConfig,
 
     loss_fn = functools.partial(cyclegan_losses, gen, disc_x, disc_y,
                                 buffer, gamma, batched_apps=batched_apps,
+                                ensemble_apps=config.ensemble_apps,
                                 remat=config.remat)
 
     def step(state: CycleGANState, real_x, real_y, rng):
@@ -301,11 +340,13 @@ class EM2EM:
                  disc_prior: Optional[Callable] = None,
                  compute_dtype: str = "float32",
                  checkpoint_root: str = "./checkpoints",
-                 seed: int = 0, remat: bool = False):
+                 seed: int = 0, remat: bool = False,
+                 ensemble_apps: bool = False):
         del norm_type  # DEPRECATED upstream (cgan.py:47); norms stay disabled
         self.config = CycleGANConfig(
             dimsize=dimsize, is3d=is3d, wf=wf, focal_gamma=focal_gamma,
-            compute_dtype=compute_dtype, remat=remat)
+            compute_dtype=compute_dtype, remat=remat,
+            ensemble_apps=ensemble_apps)
         self.exp_name = exp_name
         shapes = generator_shapes(dimsize)
         assert shapes.out % 2 == 0  # cgan.py:64
