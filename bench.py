@@ -167,8 +167,17 @@ def main():
             break
         except Exception as e:
             msg = str(e).lower()
-            if "resource" in msg and "exhausted" in msg or "out of memory" in msg or "oom" in msg:
-                print(f"# batch {batch} OOM, retrying smaller", file=sys.stderr)
+            oom = ("resource" in msg and "exhausted" in msg
+                   or "out of memory" in msg or "oom" in msg
+                   # The remote compile service reports the compiler hitting
+                   # the HBM wall as an INTERNAL HTTP 500 (tpu_compile_helper
+                   # crash), not a clean RESOURCE_EXHAUSTED — measured with
+                   # B=144/160 (PERF.md).  Back off rather than die; a real
+                   # service wedge still raises once all batches fail.
+                   or "remote_compile" in msg)
+            if oom:
+                print(f"# batch {batch} failed ({msg[:80]}), retrying smaller",
+                      file=sys.stderr)
                 continue
             raise
     tf_baseline = measure_tf_reference()

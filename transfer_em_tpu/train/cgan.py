@@ -276,10 +276,12 @@ def cyclegan_losses(gen: UNetGenerator, disc_x: Discriminator,
 
 def build_step_fn(config: CycleGANConfig,
                   disc_prior: Optional[Callable] = None,
-                  batched_apps: bool = True) -> Callable:
+                  batched_apps: bool = True,
+                  deterministic: bool = False) -> Callable:
     """The pure (un-jitted) train step: (state, real_x, real_y, rng) ->
     (state, loss7).  make_train_step jits it plain; parallel.dp jits it with
-    mesh shardings."""
+    mesh shardings.  ``deterministic`` disables dropout (testing only, e.g.
+    the TF train-step golden where the reference's dropout is patched out)."""
     gen, disc_x, disc_y = build_models(config, disc_prior)
     buffer = generator_shapes(config.dimsize).buffer
     gamma = config.focal_gamma
@@ -288,6 +290,7 @@ def build_step_fn(config: CycleGANConfig,
     loss_fn = functools.partial(cyclegan_losses, gen, disc_x, disc_y,
                                 buffer, gamma, batched_apps=batched_apps,
                                 ensemble_apps=config.ensemble_apps,
+                                deterministic=deterministic,
                                 remat=config.remat)
 
     def step(state: CycleGANState, real_x, real_y, rng):
