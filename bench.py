@@ -89,42 +89,15 @@ def measure_tf_reference() -> float:
 
 
 def _measure_tf_reference_uncached() -> float:
-    import types
-
     import numpy as np
     os.environ["CUDA_VISIBLE_DEVICES"] = "-1"
     import tensorflow as tf
 
-    # Stub tensorflow_addons.losses.SigmoidFocalCrossEntropy with the same
-    # formula (tfa is absent in this image).
-    tfa = types.ModuleType("tensorflow_addons")
-    tfa_losses = types.ModuleType("tensorflow_addons.losses")
-
-    class SigmoidFocalCrossEntropy(tf.keras.losses.Loss):
-        def __init__(self, from_logits=False, alpha=0.25, gamma=2.0,
-                     reduction="sum_over_batch_size", **kw):
-            # Keras 3 dropped Reduction.AUTO; it meant SUM_OVER_BATCH_SIZE.
-            if str(reduction).lower() == "auto":
-                reduction = "sum_over_batch_size"
-            super().__init__(reduction=reduction)
-            self.from_logits = from_logits
-            self.alpha = alpha
-            self.gamma = gamma
-
-        def call(self, y_true, y_pred):
-            y_true = tf.cast(y_true, tf.float32)
-            ce = tf.keras.backend.binary_crossentropy(
-                y_true, y_pred, from_logits=self.from_logits)
-            p = tf.sigmoid(y_pred) if self.from_logits else y_pred
-            p_t = y_true * p + (1 - y_true) * (1 - p)
-            alpha_t = y_true * self.alpha + (1 - y_true) * (1 - self.alpha)
-            return tf.reduce_sum(
-                alpha_t * tf.pow(1 - p_t, self.gamma) * ce, axis=-1)
-
-    tfa_losses.SigmoidFocalCrossEntropy = SigmoidFocalCrossEntropy
-    tfa.losses = tfa_losses
-    sys.modules["tensorflow_addons"] = tfa
-    sys.modules["tensorflow_addons.losses"] = tfa_losses
+    # tensorflow_addons is absent in this image; install the shared stub
+    # with the identical focal-CE formula (tfa_stub.py — also used by the
+    # train-step golden test so both agree on one definition).
+    import tfa_stub
+    tfa_stub.install()
 
     sys.path.insert(0, "/root/reference")
     try:
@@ -161,11 +134,14 @@ def main():
     signal.signal(signal.SIGALRM, _timeout)
     signal.alarm(40 * 60)
 
+    tiles_per_sec = None
+    last_err = None
     for batch in (128, 64, 32, 16, 8, 4, 2, 1):
         try:
             tiles_per_sec = measure_jax(batch)
             break
         except Exception as e:
+            last_err = e
             msg = str(e).lower()
             oom = ("resource" in msg and "exhausted" in msg
                    or "out of memory" in msg or "oom" in msg
@@ -180,6 +156,11 @@ def main():
                       file=sys.stderr)
                 continue
             raise
+    if tiles_per_sec is None:
+        # Every batch size failed the OOM/compile backoff: surface the real
+        # error instead of running the TF baseline and dying on a NameError.
+        raise RuntimeError(
+            f"all batch sizes failed; last error: {last_err}") from last_err
     tf_baseline = measure_tf_reference()
     print(json.dumps({
         "metric": "cyclegan_train_tiles74_per_sec_per_chip",

@@ -4,7 +4,7 @@ Times each conv stage with the repeat loop INSIDE one jitted program
 (fori_loop chaining through the input) so per-call tunnel dispatch latency
 (~28 ms on this rig) does not contaminate ~ms-scale layer times.
 
-Usage: python exp_layers.py [B]
+Usage: python bench_layers.py [B]
 """
 import os
 import sys
@@ -59,7 +59,8 @@ def one(kind, x, w):
             x, w, (2,) * 3, "VALID", dimension_numbers=DN,
             preferred_element_type=jnp.float32))
     y = lax.conv_transpose(x, w, (2, 2, 2), "SAME", dimension_numbers=DN,
-                           transpose_kernel=False)
+                           transpose_kernel=False,
+                           preferred_element_type=jnp.float32)
     return act(y)
 
 

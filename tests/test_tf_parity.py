@@ -204,36 +204,12 @@ def test_train_step_golden_vs_reference(tmp_path, monkeypatch):
     on both sides (the mask draw is the one thing that cannot be aligned
     across frameworks).  2D / wf=8 for CPU speed.
     """
-    import types
-
     import tensorflow as tf
 
-    # --- tfa stub (same formula; see bench.py) ---
-    tfa = types.ModuleType("tensorflow_addons")
-    tfa_losses = types.ModuleType("tensorflow_addons.losses")
-
-    class SigmoidFocalCrossEntropy(tf.keras.losses.Loss):
-        def __init__(self, from_logits=False, alpha=0.25, gamma=2.0,
-                     reduction="sum_over_batch_size", **kw):
-            if str(reduction).lower() == "auto":
-                reduction = "sum_over_batch_size"
-            super().__init__(reduction=reduction)
-            self.from_logits = from_logits
-            self.alpha = alpha
-            self.gamma = gamma
-
-        def call(self, y_true, y_pred):
-            y_true = tf.cast(y_true, tf.float32)
-            ce = tf.keras.backend.binary_crossentropy(
-                y_true, y_pred, from_logits=self.from_logits)
-            p = tf.sigmoid(y_pred) if self.from_logits else y_pred
-            p_t = y_true * p + (1 - y_true) * (1 - p)
-            alpha_t = y_true * self.alpha + (1 - y_true) * (1 - self.alpha)
-            return tf.reduce_sum(
-                alpha_t * tf.pow(1 - p_t, self.gamma) * ce, axis=-1)
-
-    tfa_losses.SigmoidFocalCrossEntropy = SigmoidFocalCrossEntropy
-    tfa.losses = tfa_losses
+    # Shared tfa stub (identical focal-CE formula; also used by bench.py's
+    # TF baseline so both agree on one definition).
+    import tfa_stub
+    tfa, tfa_losses = tfa_stub.build()
     monkeypatch.setitem(sys.modules, "tensorflow_addons", tfa)
     monkeypatch.setitem(sys.modules, "tensorflow_addons.losses", tfa_losses)
     # Dropout off on the TF side (our step runs deterministic=True).

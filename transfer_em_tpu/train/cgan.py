@@ -183,11 +183,6 @@ def cyclegan_losses(gen: UNetGenerator, disc_x: Discriminator,
     real_x_c2 = center_crop(real_x, buffer * 2)
     real_y_c2 = center_crop(real_y, buffer * 2)
 
-    # Dx/Dy stack only when their param trees match exactly (a disc_prior
-    # widens disc_y's post-concat convs: same structure, different shapes).
-    same_tree = (jax.tree.structure(dx) == jax.tree.structure(dy)
-                 and all(a.shape == b.shape for a, b in
-                         zip(jax.tree.leaves(dx), jax.tree.leaves(dy))))
     if ensemble_apps:
         # Stacked G/F: one vmapped apply per round (2 gen applies total).
         st_gen = jax.tree.map(lambda a, b: jnp.stack([a, b]), gg, gf)
@@ -227,7 +222,13 @@ def cyclegan_losses(gen: UNetGenerator, disc_x: Discriminator,
     # adversarial losses (grad -> generator, disc frozen), once for the
     # discriminator losses (grad -> disc, fake detached).  Forward values
     # are identical; XLA CSEs the duplicate computation.
-    if ensemble_apps and same_tree:
+    # Dx/Dy stack only when their param trees match exactly (a disc_prior
+    # widens disc_y's post-concat convs: same structure, different shapes).
+    same_tree = ensemble_apps and (
+        jax.tree.structure(dx) == jax.tree.structure(dy)
+        and all(a.shape == b.shape for a, b in
+                zip(jax.tree.leaves(dx), jax.tree.leaves(dy))))
+    if same_tree:
         # Stacked Dx/Dy (identical trees when disc_prior is None).
         st_disc = jax.tree.map(lambda a, b: jnp.stack([a, b]), dx, dy)
         st_disc_f = jax.tree.map(sg, st_disc)
