@@ -46,6 +46,43 @@ def test_device_stitch_single_tile(setup):
     assert got.shape == (36, 36, 36)
 
 
+def test_device_stitch_dp_mesh_matches_single_device(setup):
+    """mesh= shards tile batches data-parallel across 8 simulated devices;
+    result is identical to the single-device scan (duplicated padding
+    batches are idempotent under the all-reduce max combine)."""
+    from transfer_em_tpu.parallel import make_mesh
+
+    gen, params, vol = setup
+    apply_fn = lambda p, x: gen.apply(p, x)
+    ms_x, ms_y = (0.1, 0.9), (0.05, 1.1)
+    mesh = make_mesh(8, data=8, space=1)
+
+    for start, size, bs in [((40, 40, 40), (72, 72, 36), 1),
+                            ((40, 40, 40), (72, 36, 36), 2)]:
+        want = device_predict_tiled(vol, apply_fn, params, start, size,
+                                    40, 17, ms_x, ms_y, batch_size=bs)
+        got = device_predict_tiled(vol, apply_fn, params, start, size,
+                                   40, 17, ms_x, ms_y, batch_size=bs,
+                                   mesh=mesh)
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want)
+
+
+def test_predict_volume_device_mode_accepts_mesh(setup):
+    from transfer_em_tpu.infer import predict_volume
+    from transfer_em_tpu.parallel import make_mesh
+
+    gen, params, vol = setup
+    apply_fn = lambda p, x: gen.apply(p, x)
+    mesh = make_mesh(4, data=4, space=1)
+    got = predict_volume(vol, apply_fn, params, (40, 40, 40), (36, 36, 36),
+                         (0, 1), (0, 1), mode="device", batch_size=2,
+                         mesh=mesh)
+    want = predict_volume(vol, apply_fn, params, (40, 40, 40), (36, 36, 36),
+                          (0, 1), (0, 1), mode="device", batch_size=2)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_slab_predict_matches_whole_shot(setup):
     """Slab inference == one whole-volume generator pass at the same halo
     alignment.  (The trimmed-tile grid sits at a different stride-2 pooling

@@ -15,7 +15,8 @@ from .device_stitch import device_predict_tiled  # noqa: E402
 
 def predict_volume(vol_zyx, gen_apply, params, start, size,
                    meanstd_x, meanstd_y, *, outdimsize=40, buffer=17,
-                   mode="device", batch_size=128, as_numpy=True):
+                   mode="device", batch_size=128, as_numpy=True,
+                   mesh=None):
     """Predict a region of an in-memory/HBM-resident uint8 zyx volume.
 
     mode:
@@ -31,6 +32,9 @@ def predict_volume(vol_zyx, gen_apply, params, start, size,
 
     For slab/device modes a jax-array ``vol_zyx`` is used in place (upload
     once, predict many) and ``as_numpy=False`` keeps the result on device.
+    ``mesh`` (device mode only): shard tile batches data-parallel across a
+    Mesh's "data" axis — the multi-chip serving path (volume replicated;
+    see parallel.halo_predict for the spatially-sharded alternative).
     """
     if mode == "slab":
         return slab_predict(vol_zyx, gen_apply, params, start, size,
@@ -38,7 +42,8 @@ def predict_volume(vol_zyx, gen_apply, params, start, size,
     if mode == "device":
         return device_predict_tiled(vol_zyx, gen_apply, params, start, size,
                                     outdimsize, buffer, meanstd_x, meanstd_y,
-                                    batch_size=batch_size, as_numpy=as_numpy)
+                                    batch_size=batch_size, as_numpy=as_numpy,
+                                    mesh=mesh)
     if mode == "tiles":
         import numpy as _np
 

@@ -44,7 +44,8 @@ def device_predict_tiled(
         meanstd_x, meanstd_y,
         batch_size: int = 8,
         donate_volume: bool = False,
-        as_numpy: bool = True):
+        as_numpy: bool = True,
+        mesh=None):
     """Tiled inference over a device-resident uint8 zyx volume.
 
     Args/semantics match infer.tiling.predict_tiled with an in-memory source:
@@ -52,6 +53,13 @@ def device_predict_tiled(
     A numpy ``vol_zyx`` is uploaded via ``jax.device_put``; pass a jax array
     to reuse an already-resident volume.  ``as_numpy=False`` skips the D2H
     copy and returns the device array.
+
+    ``mesh``: a jax Mesh with a "data" axis — tile batches are sharded
+    across it (data-parallel inference; volume and params replicated, the
+    disjoint per-device partial outputs combined with an all-reduce max).
+    This is the multi-chip scaling path for HBM-resident serving; the
+    spatial alternative for volumes too large to replicate is
+    parallel.halo_predict.
     """
     del donate_volume  # reserved
     plan = plan_tiles(start, size, outdimsize, buffer)
@@ -73,8 +81,10 @@ def device_predict_tiled(
     T = plan.num_tiles
     B = min(batch_size, T)
     nb = (T + B - 1) // B
+    ndev = int(mesh.shape["data"]) if mesh is not None else 1
+    nb = -(-nb // ndev) * ndev  # round batches up to the mesh data size
     padn = nb * B - T
-    if padn:  # repeat last tile; duplicate writes are idempotent
+    if padn:  # repeat last tile; duplicate writes are idempotent (max-combine)
         corners_zyx = np.concatenate([corners_zyx,
                                       np.repeat(corners_zyx[-1:], padn, 0)])
         indices_zyx = np.concatenate([indices_zyx,
@@ -83,11 +93,14 @@ def device_predict_tiled(
     indices_d = jnp.asarray(indices_zyx.reshape(nb, B, 3))
 
     sx, sy, sz = size
-    out = _run(vol, params, corners_d, indices_d,
-               gen_apply=gen_apply, insize=insize, tpad=plan.tpad,
-               batch=B, out_shape=plan.padded_size, crop=(sz, sy, sx),
-               meanstd_x=tuple(meanstd_x) if meanstd_x else None,
-               meanstd_y=tuple(meanstd_y) if meanstd_y else None)
+    static = dict(gen_apply=gen_apply, insize=insize, tpad=plan.tpad,
+                  batch=B, out_shape=plan.padded_size, crop=(sz, sy, sx),
+                  meanstd_x=tuple(meanstd_x) if meanstd_x else None,
+                  meanstd_y=tuple(meanstd_y) if meanstd_y else None)
+    if mesh is None:
+        out = _run(vol, params, corners_d, indices_d, **static)
+    else:
+        out = _dp_runner(mesh, **static)(vol, params, corners_d, indices_d)
     return np.asarray(out) if as_numpy else out
 
 
@@ -96,38 +109,86 @@ def _pad3(vol, *, pad):
     return jnp.pad(vol, [(pad, pad)] * 3)
 
 
+def _make_scan(gen_apply, insize, tpad, batch, out_shape, meanstd_x,
+               meanstd_y):
+    """(vol, params, corners, indices) -> uncropped stitched volume."""
+
+    def scan_tiles(vol, params, corners_d, indices_d):
+        def step(out, batch_args):
+            cz, iz = batch_args
+
+            # fori_loop of true dynamic_slices (vmap would lower to a gather)
+            def one(i, tiles):
+                t = jax.lax.dynamic_slice(
+                    vol, (cz[i, 0], cz[i, 1], cz[i, 2]), (insize,) * 3)
+                return jax.lax.dynamic_update_slice(tiles, t[None],
+                                                    (i, 0, 0, 0))
+
+            tiles0 = jnp.zeros((batch, insize, insize, insize), jnp.uint8)
+            tiles = jax.lax.fori_loop(0, batch, one, tiles0)
+
+            x = preprocess_u8(tiles, meanstd_x)
+            y = gen_apply(params, x)
+            if tpad > 0:
+                y = y[:, tpad:-tpad, tpad:-tpad, tpad:-tpad, :]
+            pred = postprocess_to_u8(y, meanstd_y)[..., 0]
+
+            def put(i, out):
+                return jax.lax.dynamic_update_slice(
+                    out, pred[i], (iz[i, 0], iz[i, 1], iz[i, 2]))
+
+            out = jax.lax.fori_loop(0, batch, put, out)
+            return out, None
+
+        out0 = jnp.zeros(out_shape, jnp.uint8)
+        out, _ = jax.lax.scan(step, out0, (corners_d, indices_d))
+        return out
+
+    return scan_tiles
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("gen_apply", "insize", "tpad", "batch", "out_shape",
                      "crop", "meanstd_x", "meanstd_y"))
 def _run(vol, params, corners_d, indices_d, *, gen_apply, insize, tpad,
          batch, out_shape, crop, meanstd_x, meanstd_y):
-    def step(out, batch_args):
-        cz, iz = batch_args
-
-        # fori_loop of true dynamic_slices (vmap would lower to a gather)
-        def one(i, tiles):
-            t = jax.lax.dynamic_slice(
-                vol, (cz[i, 0], cz[i, 1], cz[i, 2]), (insize,) * 3)
-            return jax.lax.dynamic_update_slice(tiles, t[None], (i, 0, 0, 0))
-
-        tiles0 = jnp.zeros((batch, insize, insize, insize), jnp.uint8)
-        tiles = jax.lax.fori_loop(0, batch, one, tiles0)
-
-        x = preprocess_u8(tiles, meanstd_x)
-        y = gen_apply(params, x)
-        if tpad > 0:
-            y = y[:, tpad:-tpad, tpad:-tpad, tpad:-tpad, :]
-        pred = postprocess_to_u8(y, meanstd_y)[..., 0]
-
-        def put(i, out):
-            return jax.lax.dynamic_update_slice(
-                out, pred[i], (iz[i, 0], iz[i, 1], iz[i, 2]))
-
-        out = jax.lax.fori_loop(0, batch, put, out)
-        return out, None
-
-    out0 = jnp.zeros(out_shape, jnp.uint8)
-    out, _ = jax.lax.scan(step, out0, (corners_d, indices_d))
+    out = _make_scan(gen_apply, insize, tpad, batch, out_shape,
+                     meanstd_x, meanstd_y)(vol, params, corners_d, indices_d)
     sz, sy, sx = crop
     return out[:sz, :sy, :sx]
+
+
+@functools.lru_cache(maxsize=32)
+def _dp_runner(mesh, *, gen_apply, insize, tpad, batch, out_shape, crop,
+               meanstd_x, meanstd_y):
+    """Jitted data-parallel tile scan over ``mesh``'s "data" axis.
+
+    Tile batches are sharded across devices; volume/params are replicated.
+    Each device stitches its tiles into a local zero-initialized output, and
+    the disjoint partials combine with an all-reduce max (idempotent, so the
+    duplicated padding tiles are safe).  lru_cached so repeat serving calls
+    with the same mesh/geometry reuse the compiled program (CLAUDE.md:
+    jit-per-call re-traces).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.halo import shard_map  # single shard_map import point
+
+    scan_tiles = _make_scan(gen_apply, insize, tpad, batch, out_shape,
+                            meanstd_x, meanstd_y)
+
+    def local(vol, params, corners_d, indices_d):
+        out = scan_tiles(vol, params, corners_d, indices_d)
+        return jax.lax.pmax(out, "data")
+
+    sharded = shard_map(local, mesh=mesh,
+                        in_specs=(P(), P(), P("data"), P("data")),
+                        out_specs=P(), check_rep=False)
+
+    def run(vol, params, corners_d, indices_d):
+        out = sharded(vol, params, corners_d, indices_d)
+        sz, sy, sx = crop
+        return out[:sz, :sy, :sx]
+
+    return jax.jit(run)
