@@ -66,6 +66,24 @@ def test_data_service_volume(volume, data_service):
     np.testing.assert_array_equal(got, want)
 
 
+def test_data_service_concurrent_requests(volume, data_service):
+    """The stdlib server is threaded (reference capacity: gunicorn 9x2):
+    parallel /volume requests for different boxes all return the right
+    bytes."""
+    import concurrent.futures as cf
+
+    boxes = [[(z, z + 1, z + 2), (z + 16, z + 17, z + 18)]
+             for z in range(0, 64, 8)]
+
+    def fetch(box):
+        return box, fetch_subvolume(data_service.url, "testbucket/vol", box)
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        for box, got in ex.map(fetch, boxes):
+            (z0, y0, x0), (z1, y1, x1) = box
+            np.testing.assert_array_equal(got, volume[z0:z1, y0:y1, x0:x1])
+
+
 def test_data_service_volume_raw_bytes_contract(volume, data_service):
     """POST /volume returns C-order zyx bytes (== F-order xyz), like the
     reference service (cloudrun_functions/transferem.py:146-180)."""
