@@ -23,26 +23,32 @@ DIM = 74
 BBOX = ((0, 0, 0), (512, 512, 512))
 
 
-def main(loc_x, loc_y, cloudrun=None, epochs=5):
-    src_x = volume3d_ng(loc_x, BBOX, size=DIM, seed=11, cloudrun=cloudrun)
-    src_y = volume3d_ng(loc_y, BBOX, size=DIM, seed=22, cloudrun=cloudrun)
+def main(loc_x, loc_y, cloudrun=None, epochs=5, wf=8, batch_size=4,
+         epoch_size=256, bbox=BBOX, compute_dtype="bfloat16",
+         exp_name="gen3d"):
+    src_x = volume3d_ng(loc_x, bbox, size=DIM, seed=11, cloudrun=cloudrun)
+    src_y = volume3d_ng(loc_y, bbox, size=DIM, seed=22, cloudrun=cloudrun)
 
     ds_x, meanstd_x = create_dataset_from_generator(
-        src_x, batch_size=4, epoch_size=256, enable_augmentation=True)
+        src_x, batch_size=batch_size, epoch_size=epoch_size,
+        enable_augmentation=True)
     ds_y, meanstd_y = create_dataset_from_generator(
-        src_y, batch_size=4, epoch_size=256, enable_augmentation=True)
+        src_y, batch_size=batch_size, epoch_size=epoch_size,
+        enable_augmentation=True)
     print(f"meanstd_x={meanstd_x} meanstd_y={meanstd_y}")
 
     # fixed seeded test set (same seed -> same ROIs every run)
-    test_src = volume3d_ng(loc_x, BBOX, size=DIM, seed=777, cloudrun=cloudrun)
+    test_src = volume3d_ng(loc_x, bbox, size=DIM, seed=777, cloudrun=cloudrun)
     test_ds, _ = create_dataset_from_generator(
-        test_src, batch_size=1, epoch_size=4, meanstd=meanstd_x)
+        test_src, batch_size=1, epoch_size=2, meanstd=meanstd_x)
 
-    model = EM2EM(DIM, "gen3d", is3d=True, wf=8, compute_dtype="bfloat16")
+    model = EM2EM(DIM, exp_name, is3d=True, wf=wf,
+                  compute_dtype=compute_dtype)
     model.train(ds_x, ds_y, epochs=epochs, check_freq=1)
 
     for batch in test_ds:
         print("pred", model.predict(batch).shape)
+    return model
 
 
 if __name__ == "__main__":

@@ -18,11 +18,15 @@ from transfer_em_tpu.infer.tiling import predict_tiled
 from transfer_em_tpu.native import gather_blocks
 
 
-def main(ckpt_step, exp_name="simple2d"):
-    # export generator G + meta.json (reference bin/save_model.py flow)
-    save_model("exported_" + exp_name, int(ckpt_step),
+def main(ckpt_step, exp_name="simple2d", wf=8, request=(72, 72, 72)):
+    # export generator G + meta.json (reference bin/save_model.py flow):
+    # the checkpoint is addressed by PATH, like the reference CLI's
+    # <ckpt> argument (bin/save_model.py:18-24)
+    ckpt_path = os.path.join("checkpoints", f"train_{exp_name}",
+                             str(int(ckpt_step)))
+    save_model("exported_" + exp_name, ckpt_path,
                meanstd_x=(0.0, 1.0), meanstd_y=(0.0, 1.0),
-               size=74, is3d=True)
+               size=74, is3d=True, wf=wf)
 
     # local tiled inference over an in-memory volume
     gen, params, meta = load_generator("exported_" + exp_name)
@@ -32,10 +36,11 @@ def main(ckpt_step, exp_name="simple2d"):
         return gather_blocks(vol, [corner], insize)[0]
 
     out = predict_tiled(fetch_tile, lambda p, x: gen.apply(p, x), params,
-                        start=(64, 64, 64), size=(72, 72, 72),
+                        start=(64, 64, 64), size=request,
                         outdimsize=meta.outdimsize, buffer=meta.buffer,
                         meanstd_x=meta.meanstd_x, meanstd_y=meta.meanstd_y)
     print("tiled prediction:", out.shape, out.dtype)
+    return out
 
 
 if __name__ == "__main__":

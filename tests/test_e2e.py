@@ -8,6 +8,8 @@ checkpoints save/restore exactly, prediction + RMSE evaluation work.
 
 import os
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -101,6 +103,21 @@ def test_export_after_training(trained, tmp_path):
     x = jnp.zeros((1, 74, 74, 1))
     np.testing.assert_array_equal(np.asarray(model.predict(x)),
                                   np.asarray(gen2.apply(params2, x)))
+
+
+def test_restore_from_explicit_path_other_experiment(trained, tmp_path):
+    """Reference cgan.py:98-100 restores ANY explicit checkpoint prefix,
+    including another experiment's — the contract save_model relies on
+    (utils.py:140-149).  A fresh EM2EM under a different exp_name restores
+    from the trained model's checkpoint PATH bit-exactly."""
+    model, ckroot, *_ = trained
+    step = int(model._ckpt_mgr.latest_step())
+    path = os.path.join(ckroot, "train_e2e_test", str(step))
+    other = EM2EM(74, "restore_path_other", is3d=False, wf=32,
+                  checkpoint_root=str(tmp_path / "ck2"), ckpt_restore=path)
+    for a, b in zip(jax.tree.leaves(model.state.gg),
+                    jax.tree.leaves(other.state.gg)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_loss_decreases_on_warp_fixture(tmp_path):

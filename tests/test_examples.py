@@ -43,6 +43,50 @@ def test_run_cloud_predict_service(tmp_path, monkeypatch):
     ex.main()
 
 
+def test_run_local_predict(tmp_path, monkeypatch):
+    """Recipe 3: checkpoint -> save_model(ckpt PATH) -> load -> tiled
+    inference (reference bin/save_model.py + run_local_predict.ipynb)."""
+    monkeypatch.chdir(tmp_path)
+    from transfer_em_tpu.train import EM2EM
+
+    model = EM2EM(74, "lp_smoke", is3d=True, wf=32)
+    model.make_checkpoint(1)
+
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        import run_local_predict as ex
+    finally:
+        sys.path.remove("/root/repo/examples")
+    out = ex.main(1, "lp_smoke", wf=32, request=(36, 36, 36))
+    assert out.shape == (36, 36, 36) and out.dtype == np.uint8
+
+
+def test_generator_training_3d(tmp_path, monkeypatch):
+    """Recipe 2: streamed two-domain 3D training with augmentation and a
+    seeded test set, over the local data service."""
+    monkeypatch.chdir(tmp_path)
+    from transfer_em_tpu.serve import DataService, NumpyVolume, register_volume
+
+    rng = np.random.default_rng(5)
+    register_volume("gen3d/x", NumpyVolume(
+        rng.integers(0, 255, (128, 128, 128), np.uint8)))
+    register_volume("gen3d/y", NumpyVolume(
+        rng.integers(0, 255, (128, 128, 128), np.uint8)))
+    svc = DataService()
+    svc.start()
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        import generator_training_3d as ex
+        model = ex.main("gen3d/x", "gen3d/y", cloudrun=svc.url, epochs=1,
+                        wf=32, batch_size=1, epoch_size=2,
+                        bbox=((0, 0, 0), (128, 128, 128)),
+                        compute_dtype="float32", exp_name="gen3d_smoke")
+    finally:
+        sys.path.remove("/root/repo/examples")
+        svc.stop()
+    assert int(model.state.step) == 2
+
+
 def test_simple_training_2d(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     sys.path.insert(0, "/root/repo/examples")

@@ -397,17 +397,27 @@ class EM2EM:
         import orbax.checkpoint as ocp
         return ocp.args.StandardSave(jax.tree.map(np.asarray, self.state))
 
-    def _restore_step(self, step: int):
+    def _restore_step(self, step: int, mgr=None):
         import orbax.checkpoint as ocp
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, self.state)
-        self.state = self._ckpt_mgr.restore(
+        self.state = (mgr or self._ckpt_mgr).restore(
             step, args=ocp.args.StandardRestore(abstract))
 
     def restore(self, ckpt_restore: str | int):
-        """Restore from an explicit checkpoint (step number or path)."""
-        step = int(os.path.basename(str(ckpt_restore))
-                   if not isinstance(ckpt_restore, int) else ckpt_restore)
-        self._restore_step(step)
+        """Restore from an explicit checkpoint: a step number (this
+        experiment's manager) or a path ``.../train_<exp>/<step>`` — possibly
+        from a DIFFERENT experiment, like the reference's
+        ``ckpt.restore(ckpt_restore)`` with an explicit prefix
+        (cgan.py:98-100; save_model reconstructs from any checkpoint path,
+        utils.py:140-149)."""
+        s = str(ckpt_restore)
+        if isinstance(ckpt_restore, int) or os.sep not in s:
+            self._restore_step(int(s))
+        else:
+            import orbax.checkpoint as ocp
+            root = os.path.abspath(os.path.dirname(s))
+            mgr = ocp.CheckpointManager(root)
+            self._restore_step(int(os.path.basename(s)), mgr=mgr)
         print(f"checkpoint {ckpt_restore} restored")
 
     # ------------------------------------------------------------ multi-chip
