@@ -8,8 +8,6 @@ checkpoints save/restore exactly, prediction + RMSE evaluation work.
 
 import os
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -36,6 +36,10 @@ def predict_volume(vol_zyx, gen_apply, params, start, size,
     Mesh's "data" axis — the multi-chip serving path (volume replicated;
     see parallel.halo_predict for the spatially-sharded alternative).
     """
+    if mesh is not None and mode != "device":
+        raise ValueError(
+            f"mesh= is only supported with mode='device' (got {mode!r}); "
+            "for spatially-sharded inference use parallel.halo_predict")
     if mode == "slab":
         return slab_predict(vol_zyx, gen_apply, params, start, size,
                             meanstd_x, meanstd_y, as_numpy=as_numpy)

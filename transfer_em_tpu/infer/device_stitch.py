@@ -60,6 +60,11 @@ def device_predict_tiled(
     This is the multi-chip scaling path for HBM-resident serving; the
     spatial alternative for volumes too large to replicate is
     parallel.halo_predict.
+
+    NOTE (both single-device and mesh paths): the compiled program is cached
+    on the IDENTITY of ``gen_apply`` — pass a stable callable held by the
+    caller, not a fresh ``lambda p, x: ...`` per request, or every call
+    re-traces and pays the remote-compile round trip (CLAUDE.md).
     """
     del donate_volume  # reserved
     plan = plan_tiles(start, size, outdimsize, buffer)

@@ -410,14 +410,17 @@ class EM2EM:
         ``ckpt.restore(ckpt_restore)`` with an explicit prefix
         (cgan.py:98-100; save_model reconstructs from any checkpoint path,
         utils.py:140-149)."""
-        s = str(ckpt_restore)
+        s = str(ckpt_restore).rstrip(os.sep)
         if isinstance(ckpt_restore, int) or os.sep not in s:
             self._restore_step(int(s))
         else:
             import orbax.checkpoint as ocp
             root = os.path.abspath(os.path.dirname(s))
             mgr = ocp.CheckpointManager(root)
-            self._restore_step(int(os.path.basename(s)), mgr=mgr)
+            try:
+                self._restore_step(int(os.path.basename(s)), mgr=mgr)
+            finally:
+                mgr.close()
         print(f"checkpoint {ckpt_restore} restored")
 
     # ------------------------------------------------------------ multi-chip
