@@ -83,6 +83,15 @@ def test_predict_volume_device_mode_accepts_mesh(setup):
     np.testing.assert_array_equal(got, want)
 
 
+def test_predict_volume_rejects_mesh_for_non_device_modes(setup):
+    from transfer_em_tpu.infer import predict_volume
+    gen, params, vol = setup
+    with pytest.raises(ValueError, match="mode='device'"):
+        predict_volume(vol, lambda p, x: gen.apply(p, x), params,
+                       (0, 0, 0), (36, 36, 36), (0, 1), (0, 1),
+                       mode="slab", mesh=object())
+
+
 def test_slab_predict_matches_whole_shot(setup):
     """Slab inference == one whole-volume generator pass at the same halo
     alignment.  (The trimmed-tile grid sits at a different stride-2 pooling
