@@ -1,0 +1,128 @@
+"""Hardware validation: bf16 GAN training actually LEARNS on the real chip.
+
+Two checks, both measured in round 1 (PERF.md "bf16 training convergence"):
+
+1. default: the CPU learning-test recipe (2D warp fixture, wf=32, 200
+   steps) in bf16 — cycle loss must at least halve (measured 5.1 -> 0.6).
+2. --soak: 1000-step 3D wf=8 bf16 run on structured patches — convergence
+   (measured 2.9 -> 0.16), every loss finite, discriminators balanced.
+
+Run:  python validate_tpu.py [--soak]
+(On the remotely-attached chip allow ~5-10 min with a warm compile cache.)
+
+Caution from the measured negative control: pure uint8 NOISE is not a
+learnable fixture (blur destroys it unrecoverably; cycle stays flat at
+~0.08) — both checks use structured patches for this reason.
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import numpy as np
+
+
+def blobby(rng, n, size, ndim, k=8):
+    """Structured uint8 patches: box-smoothed noise via the cumsum trick."""
+    out = []
+    for _ in range(n):
+        v = rng.normal(size=(size + k,) * ndim).astype(np.float32)
+        c = v
+        for ax in range(ndim):
+            c = np.cumsum(c, ax)
+        # inclusion-exclusion box sum, then crop
+        s = c
+        for ax in range(ndim):
+            sl_hi = [slice(None)] * ndim
+            sl_lo = [slice(None)] * ndim
+            sl_hi[ax] = slice(k, None)
+            sl_lo[ax] = slice(None, -k)
+            s = s[tuple(sl_hi)] - s[tuple(sl_lo)]
+        s = s[(slice(None, size),) * ndim]
+        s = (s - s.min()) / max(float(np.ptp(s)), 1e-6)
+        out.append((s * 255).astype(np.uint8))
+    return out
+
+
+def check_2d_convergence():
+    """200-step 2D warp-fixture run in bf16 (the CPU test's exact recipe)."""
+    import tempfile
+
+    from transfer_em_tpu.datasets import create_dataset_from_tensors
+    from transfer_em_tpu.debug import warp
+    from transfer_em_tpu.train import EM2EM
+
+    rng = np.random.default_rng(1)
+    patches = blobby(rng, n=8, size=74, ndim=2)
+    target_ds, _ = create_dataset_from_tensors(
+        patches, batch_size=4, enable_augmentation=False, seed=1)
+    source_ds, _ = create_dataset_from_tensors(
+        patches, batch_size=4, custom_map=warp, enable_augmentation=False,
+        seed=2)
+    model = EM2EM(74, "validate2d", is3d=False, wf=32,
+                  checkpoint_root=tempfile.mkdtemp(), seed=3,
+                  compute_dtype="bfloat16")
+    hist = []
+    t0 = time.time()
+    for _ in range(100):
+        for bx, by in zip(source_ds, target_ds):
+            hist.append(np.asarray(model.train_step(bx, by)))
+    h = np.stack(hist)
+    first, last = h[:20, 6].mean(), h[-20:, 6].mean()
+    print(f"[2d] 200 steps in {time.time()-t0:.1f}s; "
+          f"cycle {first:.3f} -> {last:.3f}")
+    assert np.all(np.isfinite(h)), "non-finite loss"
+    assert last < first * 0.5, (first, last)
+    print("[2d] CONVERGENCE OK (bf16, wf=32)")
+
+
+def check_3d_soak(steps=1000):
+    """3D wf=8 bf16 soak: stability + convergence (BASELINE config 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from transfer_em_tpu.config import CycleGANConfig
+    from transfer_em_tpu.ops.normalize import scale_tensor
+    from transfer_em_tpu.ops.warp import warp
+    from transfer_em_tpu.train import create_state, make_train_step
+
+    rng = np.random.default_rng(2)
+    base = np.stack(blobby(rng, n=8, size=74, ndim=3))
+    y = scale_tensor(jnp.asarray(base))
+    y_std = (y - float(jnp.mean(y))) / float(jnp.std(y))
+    key = jax.random.PRNGKey(3)
+    x = jnp.stack([warp(y[i], jax.random.fold_in(key, i)) for i in range(8)])
+    x_std = (x - float(jnp.mean(x))) / float(jnp.std(x))
+
+    cfg = CycleGANConfig(dimsize=74, is3d=True, wf=8,
+                         compute_dtype="bfloat16")
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, donate=True)
+    k = jax.random.PRNGKey(1)
+    t0 = time.time()
+    hist = []
+    for i in range(steps):
+        state, loss = step(state, x_std, y_std, k)
+        if i % 100 == 0 or i == steps - 1:
+            l = np.asarray(loss)
+            assert np.all(np.isfinite(l)), (i, l)
+            hist.append(l)
+            print(f"[3d] step {i:4d}: cycle={l[6]:.4f} dy={l[2]:.4f} "
+                  f"dx={l[3]:.4f}", flush=True)
+    dt = time.time() - t0
+    first, last = hist[0][6], hist[-1][6]
+    print(f"[3d] {steps} steps (B=8) in {dt:.0f}s = {8*steps/dt:.1f} tiles/s; "
+          f"cycle {first:.3f} -> {last:.3f}")
+    assert last < first * 0.5
+    print("[3d] SOAK OK (bf16, wf=8)")
+
+
+if __name__ == "__main__":
+    check_2d_convergence()
+    if "--soak" in sys.argv:
+        check_3d_soak()
+    print("validate_tpu: ALL OK")
