@@ -195,6 +195,71 @@ def test_custom_map_fixed_across_epochs(rng):
     np.testing.assert_array_equal(e1, e2)
 
 
+def test_custom_map_fixed_per_element_under_shuffling(rng):
+    """Per-element warp keys are derived from element IDS, so each element's
+    warp stays fixed across epochs even when shuffling reorders batches —
+    the reference's post-warp cache semantics under .shuffle()."""
+    from transfer_em_tpu.debug import warp
+    tensors = [rng.integers(0, 255, size=(64, 64), dtype=np.uint8)
+               for _ in range(6)]
+    ds, _ = create_dataset_from_tensors(
+        tensors, batch_size=1, custom_map=warp, global_adjust=False,
+        enable_augmentation=False, randomize=True, seed=9)
+
+    e1 = [np.asarray(b)[0] for b in iter(ds)]
+    e2 = [np.asarray(b)[0] for b in iter(ds)]
+    # same multiset of warped elements, different order
+    s1 = sorted(e1, key=lambda a: a.tobytes())
+    s2 = sorted(e2, key=lambda a: a.tobytes())
+    for a, b in zip(s1, s2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_make_warp_map_works_in_pipeline(rng):
+    """make_warp_map's documented use as a dataset custom_map (it must
+    accept the pipeline's PRNG-key second argument)."""
+    from transfer_em_tpu.ops.warp import make_warp_map
+    tensors = [rng.integers(0, 255, size=(64, 64), dtype=np.uint8)
+               for _ in range(4)]
+    ds, _ = create_dataset_from_tensors(
+        tensors, batch_size=2, custom_map=make_warp_map(3),
+        global_adjust=False, enable_augmentation=False)
+    batch = np.asarray(next(iter(ds)))
+    assert batch.shape == (2, 64, 64, 1)
+    assert np.all(np.isfinite(batch))
+    # reproducible across epochs (no shuffling)
+    np.testing.assert_array_equal(batch, np.asarray(next(iter(ds))))
+
+
+def test_threaded_iterator_abandonment_does_not_leak_threads():
+    """Abandoning an epoch iterator mid-stream (zip with a shorter dataset,
+    reference cgan.py:260) must not leave worker threads blocked forever."""
+    import threading
+    import time as _time
+
+    from transfer_em_tpu.data import create_dataset_from_generator
+
+    def source():
+        def it():
+            i = 0
+            while True:  # infinite
+                yield np.full((8, 8), i % 255, np.uint8)
+                i += 1
+        return it()
+
+    ds, _ = create_dataset_from_generator(
+        source, batch_size=1, epoch_size=1000, meanstd=(0.0, 1.0),
+        fetch_threads=2)
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(ds)
+        next(it)  # consume one batch, abandon the rest
+        del it
+    _time.sleep(1.0)  # workers notice the stop event within ~0.2 s
+    after = threading.active_count()
+    assert after <= before + 1, (before, after)
+
+
 def test_generator_source_errors_propagate(rng):
     """A failing source must surface its exception, not silently truncate
     the epoch (failure-detection parity: the reference raises through

@@ -127,7 +127,10 @@ def _device_transform(custom_map, global_adjust, meanstd, enable_augmentation):
             aug_key: jax.Array) -> jax.Array:
         x = scale_tensor(batch_u8)  # (B, *sp, 1) in [-1, 1]
         if custom_map is not None:
-            keys = jax.random.split(cm_key, x.shape[0])
+            if cm_key.ndim == 1:  # one key for the batch: split positionally
+                keys = jax.random.split(cm_key, x.shape[0])
+            else:                 # (B, 2): per-ELEMENT keys (id-derived)
+                keys = cm_key
             x = jax.vmap(custom_map)(x, keys)
         if global_adjust:
             x = standardize_population(x, meanstd)
@@ -188,6 +191,18 @@ def create_dataset_from_tensors(
     tx = _device_transform(custom_map, global_adjust, meanstd,
                            enable_augmentation)
     n = len(tensors)
+    # Per-ELEMENT custom-map keys derived from element ids, computed once:
+    # each element's warp is a pure function of (seed, id), fixed across
+    # epochs regardless of shuffling — exactly the reference's post-warp
+    # cache semantics (datasets.py:47-60).
+    if custom_map is not None:
+        _k5 = jax.random.fold_in(base_key, 5000)
+        element_keys = np.asarray(
+            jax.jit(jax.vmap(lambda i: jax.random.fold_in(_k5, i)))(
+                jnp.arange(n)))
+    else:
+        element_keys = None
+    _unused_key = jax.random.PRNGKey(0)  # placeholder when custom_map is None
     epoch_counter = [0]
 
     def epoch() -> Iterator[jax.Array]:
@@ -206,12 +221,10 @@ def create_dataset_from_tensors(
 
         def device_batches():
             for bi, (idx, hb) in enumerate(_DevicePrefetcher2(host_batches())):
-                # warp key from the FIRST element id: with shuffling off (the
-                # common warp-fixture setup) each element keeps its warp
-                # across epochs, matching the reference's post-warp cache.
-                cm_key = jax.random.fold_in(
-                    jax.random.fold_in(base_key, 5000), int(idx[0]))
-                yield tx(hb, cm_key, jax.random.fold_in(ekey, 1000 + bi))
+                # per-element warp keys by element id (stable under shuffling)
+                cm_keys = jnp.asarray(element_keys[idx]) \
+                    if element_keys is not None else _unused_key
+                yield tx(hb, cm_keys, jax.random.fold_in(ekey, 1000 + bi))
 
         return device_batches()
 
@@ -306,25 +319,42 @@ def _threaded(elements_fn: Callable[[], Iterator[np.ndarray]],
     q: "queue.Queue" = queue.Queue(maxsize=max(2 * num_threads, 8))
     _SENTINEL = object()
     err: list = []
+    stop = threading.Event()  # set when the consumer abandons the iterator
+
+    def _put(item) -> bool:
+        """Bounded put that gives up once the consumer is gone (an abandoned
+        epoch iterator — e.g. zip() with a shorter dataset — must not leave
+        this thread blocked forever on a full queue)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for el in elements_fn():
-                q.put(el)
+                if not _put(el):
+                    return  # consumer gone; drop the source iterator too
         except BaseException as e:  # propagate source failures to the consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        el = q.get()
-        if el is _SENTINEL:
-            if err:
-                raise err[0]
-            break
-        yield el
+    try:
+        while True:
+            el = q.get()
+            if el is _SENTINEL:
+                if err:
+                    raise err[0]
+                break
+            yield el
+    finally:
+        stop.set()  # reached on GeneratorExit when abandoned mid-epoch
 
 
 def zip_datasets(a: Iterable, b: Iterable) -> Iterator:

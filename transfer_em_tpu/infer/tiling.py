@@ -20,6 +20,7 @@ tests/test_tiling.py by predicting a block whole vs tiled.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -74,16 +75,16 @@ def plan_tiles(start: Sequence[int], size: Sequence[int], outdimsize: int,
                     padded_size=padded_zyx)
 
 
-def make_tile_step(gen_apply: Callable, params, meanstd_x, meanstd_y,
-                   tpad: int, sharding=None):
-    """Jitted fused step: uint8 tile batch -> uint8 prediction batch.
+@functools.lru_cache(maxsize=64)
+def _tile_step_jit(gen_apply: Callable, meanstd_x, meanstd_y, tpad: int,
+                   sharding):
+    """Module-level jitted step cache (CLAUDE.md: a jax.jit on a per-call
+    closure re-traces every call and pays remote compile-cache lookups).
+    params is an ARGUMENT so one compiled program serves repeated serving
+    requests; keyed on the identity of ``gen_apply`` — callers must pass a
+    stable callable, not a fresh lambda per request."""
 
-    (B, s, s, s) u8 -> preprocess (scale+standardize, fused affine) ->
-    generator -> unstandardize/rescale/round -> trim tpad.  With ``sharding``
-    (a NamedSharding over the data axis) the batch fans out across chips.
-    """
-
-    def step(tiles_u8: jax.Array) -> jax.Array:
+    def step(params, tiles_u8: jax.Array) -> jax.Array:
         x = preprocess_u8(tiles_u8, meanstd_x)
         y = gen_apply(params, x)
         if tpad > 0:
@@ -92,9 +93,24 @@ def make_tile_step(gen_apply: Callable, params, meanstd_x, meanstd_y,
             y = y[sl]
         return postprocess_to_u8(y, meanstd_y)[..., 0]
 
-    jitted = jax.jit(step, in_shardings=sharding, out_shardings=sharding) \
-        if sharding is not None else jax.jit(step)
-    return jitted
+    if sharding is not None:
+        return jax.jit(step, in_shardings=(None, sharding),
+                       out_shardings=sharding)
+    return jax.jit(step)
+
+
+def make_tile_step(gen_apply: Callable, params, meanstd_x, meanstd_y,
+                   tpad: int, sharding=None):
+    """Jitted fused step: uint8 tile batch -> uint8 prediction batch.
+
+    (B, s, s, s) u8 -> preprocess (scale+standardize, fused affine) ->
+    generator -> unstandardize/rescale/round -> trim tpad.  With ``sharding``
+    (a NamedSharding over the data axis) the batch fans out across chips.
+    """
+    ms = lambda v: tuple(map(float, v)) if v is not None else None
+    jitted = _tile_step_jit(gen_apply, ms(meanstd_x), ms(meanstd_y),
+                            int(tpad), sharding)
+    return functools.partial(jitted, params)
 
 
 def scatter_tiles(out_zyx: np.ndarray, tiles_u8: np.ndarray,
@@ -126,7 +142,7 @@ def predict_tiled(
     Returns:
       zyx uint8 array of ``size`` (and the input volume if fetch_input).
     """
-    import concurrent.futures as cf
+    from ..data.sources import _parallel_fetch
 
     plan = plan_tiles(start, size, outdimsize, buffer)
     step = make_tile_step(gen_apply, params, meanstd_x, meanstd_y, plan.tpad,
@@ -139,35 +155,37 @@ def predict_tiled(
         return fetch_tile(corner, plan.insize)
 
     n = plan.num_tiles
-    with cf.ThreadPoolExecutor(max_workers=fetch_threads) as ex:
-        fetched = ex.map(fetch, plan.corners)
-        batch_tiles: List[np.ndarray] = []
-        batch_idx: List[Tuple[int, int, int]] = []
+    # Bounded sliding-window fetch (2*threads in flight): Executor.map would
+    # submit ALL tiles up front and buffer them in host RAM — toward the
+    # whole haloed input volume for gigavoxel requests.
+    fetched = _parallel_fetch(iter(plan.corners), fetch, fetch_threads)
+    batch_tiles: List[np.ndarray] = []
+    batch_idx: List[Tuple[int, int, int]] = []
 
-        def flush():
-            if not batch_tiles:
-                return
-            k = len(batch_tiles)
-            arr = np.stack(batch_tiles)
-            if k < batch_size:  # pad to static shape for jit
-                pad = np.zeros((batch_size - k,) + arr.shape[1:], np.uint8)
-                arr = np.concatenate([arr, pad])
-            pred = np.asarray(step(jnp.asarray(arr)))[:k]
-            scatter_tiles(out, pred, batch_idx, plan.outdimsize)
-            if fetch_input:
-                b, t = plan.buffer, plan.tpad
-                lo, hi = b, b + plan.outdimsize
-                ins = arr[:k, lo:hi, lo:hi, lo:hi]
-                scatter_tiles(in_out, ins, batch_idx, plan.outdimsize)
-            batch_tiles.clear()
-            batch_idx.clear()
+    def flush():
+        if not batch_tiles:
+            return
+        k = len(batch_tiles)
+        arr = np.stack(batch_tiles)
+        if k < batch_size:  # pad to static shape for jit
+            pad = np.zeros((batch_size - k,) + arr.shape[1:], np.uint8)
+            arr = np.concatenate([arr, pad])
+        pred = np.asarray(step(jnp.asarray(arr)))[:k]
+        scatter_tiles(out, pred, batch_idx, plan.outdimsize)
+        if fetch_input:
+            b, t = plan.buffer, plan.tpad
+            lo, hi = b, b + plan.outdimsize
+            ins = arr[:k, lo:hi, lo:hi, lo:hi]
+            scatter_tiles(in_out, ins, batch_idx, plan.outdimsize)
+        batch_tiles.clear()
+        batch_idx.clear()
 
-        for tile, idx in zip(fetched, plan.indices):
-            batch_tiles.append(np.asarray(tile, np.uint8))
-            batch_idx.append(idx)
-            if len(batch_tiles) == batch_size:
-                flush()
-        flush()
+    for tile, idx in zip(fetched, plan.indices):
+        batch_tiles.append(np.asarray(tile, np.uint8))
+        batch_idx.append(idx)
+        if len(batch_tiles) == batch_size:
+            flush()
+    flush()
 
     sx, sy, sz = size
     res = out[:sz, :sy, :sx]

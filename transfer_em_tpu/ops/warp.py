@@ -68,14 +68,21 @@ def batch_warp(x: jax.Array, key: jax.Array) -> jax.Array:
 def make_warp_map(seed: int = 0):
     """Build a stateless per-element warp map for dataset pipelines.
 
-    Returns ``f(element, index) -> warped`` where ``index`` is the element's
-    position in the stream; the key is folded from (seed, index) so streams
-    are reproducible — the TPU-native replacement for passing
-    ``custom_map=warp_tensor`` (reference datasets.py:47-49, debug.py:7).
+    Returns ``f(element, index_or_key) -> warped``.  The second argument is
+    either an integer stream index (folded with ``seed`` into a key) or a
+    PRNG key as passed by the dataset pipelines' custom_map protocol
+    (pipeline.py: ``vmap(custom_map)(batch, keys)``); both are reproducible
+    — the TPU-native replacement for ``custom_map=warp_tensor`` (reference
+    datasets.py:47-49, debug.py:7).
     """
     base = jax.random.PRNGKey(seed)
 
-    def _map(el: jax.Array, index: int) -> jax.Array:
-        return warp(el, jax.random.fold_in(base, index))
+    def _map(el: jax.Array, index_or_key) -> jax.Array:
+        ik = jnp.asarray(index_or_key)
+        if ik.ndim == 0:  # integer stream index
+            k = jax.random.fold_in(base, ik)
+        else:             # pipeline-provided PRNG key: mix in our seed
+            k = jax.random.fold_in(index_or_key, seed)
+        return warp(el, k)
 
     return _map

@@ -510,6 +510,13 @@ class EM2EM:
                             gt_c = center_crop(jnp.asarray(sample_gt), self.buffer)
                             acc = float(L.rmse(gt_c[0], sample_pred[0]))
                             print(f"Accuracy on sample: {acc}")
+                        if debug:
+                            # reference cgan.py:285 shows the pair in-loop;
+                            # headless here: write a side-by-side PNG
+                            from ..debug import generate_images
+                            generate_images(
+                                sample, sample_pred, show=False,
+                                save_path=f"{self.exp_name}_sample.png")
                 print(f"Time taken for epoch {epoch+1} is {time.time()-t0}")
         logger.close()
 
