@@ -11,12 +11,13 @@ __all__ = [
 
 from .slab import slab_predict  # noqa: E402
 from .device_stitch import device_predict_tiled  # noqa: E402
+from .stream import predict_streaming, predict_volume_streaming  # noqa: E402
 
 
 def predict_volume(vol_zyx, gen_apply, params, start, size,
                    meanstd_x, meanstd_y, *, outdimsize=40, buffer=17,
                    mode="device", batch_size=128, as_numpy=True,
-                   mesh=None):
+                   mesh=None, max_block_bytes=1 << 30, out=None):
     """Predict a region of an in-memory/HBM-resident uint8 zyx volume.
 
     mode:
@@ -25,21 +26,35 @@ def predict_volume(vol_zyx, gen_apply, params, start, size,
                  and bit-identical to the reference's trimmed tile grid);
       "slab"   — whole z-slab forwards (infer/slab.py), fewest kernels,
                  lower HBM watermark for huge XY extents;
+      "stream" — chunked pipeline for volumes LARGER than HBM
+                 (infer/stream.py): only <= 2 haloed blocks of
+                 ``max_block_bytes`` are resident at once, fetch/H2D/compute/
+                 D2H overlapped; bit-identical to "device";
       "tiles"  — host-side tiled path (infer/tiling.py) via native gather.
-    All three share zero-halo-outside-volume semantics; slab uses its own
+    All modes share zero-halo-outside-volume semantics; slab uses its own
     pooling-phase alignment (outputs can differ from the trimmed-tile grid by
     bf16-level amounts at identical quality).
 
     For slab/device modes a jax-array ``vol_zyx`` is used in place (upload
     once, predict many) and ``as_numpy=False`` keeps the result on device.
-    ``mesh`` (device mode only): shard tile batches data-parallel across a
+    ``mesh`` (device/stream modes): shard tile batches data-parallel across a
     Mesh's "data" axis — the multi-chip serving path (volume replicated;
     see parallel.halo_predict for the spatially-sharded alternative).
+    ``out`` (stream mode): preallocated zyx uint8 output, e.g. an np.memmap
+    for results larger than host RAM.
     """
-    if mesh is not None and mode != "device":
+    if mesh is not None and mode not in ("device", "stream"):
         raise ValueError(
             f"mesh= is only supported with mode='device' (got {mode!r}); "
             "for spatially-sharded inference use parallel.halo_predict")
+    if mode == "stream":
+        import numpy as _np
+        vol = (vol_zyx if isinstance(vol_zyx, _np.memmap)
+               else _np.ascontiguousarray(vol_zyx, _np.uint8))
+        return predict_volume_streaming(
+            vol, gen_apply, params, start, size, meanstd_x, meanstd_y,
+            outdimsize=outdimsize, buffer=buffer, batch_size=batch_size,
+            max_block_bytes=max_block_bytes, mesh=mesh, out=out)
     if mode == "slab":
         return slab_predict(vol_zyx, gen_apply, params, start, size,
                             meanstd_x, meanstd_y, as_numpy=as_numpy)
@@ -65,4 +80,5 @@ def predict_volume(vol_zyx, gen_apply, params, start, size,
     raise ValueError(f"unknown mode {mode!r}")
 
 
-__all__ += ["slab_predict", "device_predict_tiled", "predict_volume"]
+__all__ += ["slab_predict", "device_predict_tiled", "predict_volume",
+            "predict_streaming", "predict_volume_streaming"]

@@ -45,7 +45,8 @@ def device_predict_tiled(
         batch_size: int = 8,
         donate_volume: bool = False,
         as_numpy: bool = True,
-        mesh=None):
+        mesh=None,
+        prepadded: bool = False):
     """Tiled inference over a device-resident uint8 zyx volume.
 
     Args/semantics match infer.tiling.predict_tiled with an in-memory source:
@@ -71,13 +72,17 @@ def device_predict_tiled(
     insize = plan.insize
 
     # Pad by the tile size so every (corner - buffer) index is in range,
-    # reproducing gather_blocks' zero-fill OOB semantics.
-    pad = insize
+    # reproducing gather_blocks' zero-fill OOB semantics.  ``prepadded``
+    # callers (infer/stream.py) fetch blocks that already cover every corner
+    # read — the pad (which costs an extra HBM copy of the whole volume) is
+    # skipped; the caller guarantees corners stay in range.
+    pad = 0 if prepadded else insize
     if isinstance(vol_zyx, jax.Array):
         vol = vol_zyx.astype(jnp.uint8)
     else:
         vol = jax.device_put(np.ascontiguousarray(vol_zyx, np.uint8))
-    vol = _pad3(vol, pad=pad)
+    if pad:
+        vol = _pad3(vol, pad=pad)
 
     corners = np.asarray(plan.corners, np.int64)  # (T, 3) xyz
     corners_zyx = corners[:, ::-1] + pad
@@ -86,6 +91,11 @@ def device_predict_tiled(
     T = plan.num_tiles
     B = min(batch_size, T)
     nb = (T + B - 1) // B
+    if mesh is not None and "data" not in mesh.shape:
+        raise ValueError(
+            f"device_predict_tiled needs a mesh with a 'data' axis (got axes "
+            f"{tuple(mesh.shape)}); for spatially-sharded inference use "
+            "parallel.halo_predict")
     ndev = int(mesh.shape["data"]) if mesh is not None else 1
     nb = -(-nb // ndev) * ndev  # round batches up to the mesh data size
     padn = nb * B - T
@@ -189,7 +199,7 @@ def _dp_runner(mesh, *, gen_apply, insize, tpad, batch, out_shape, crop,
 
     sharded = shard_map(local, mesh=mesh,
                         in_specs=(P(), P(), P("data"), P("data")),
-                        out_specs=P(), check_rep=False)
+                        out_specs=P(), check_vma=False)
 
     def run(vol, params, corners_d, indices_d):
         out = sharded(vol, params, corners_d, indices_d)
