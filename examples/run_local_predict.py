@@ -35,7 +35,7 @@ def main(ckpt_step, exp_name="simple2d", wf=8, request=(72, 72, 72)):
     def fetch_tile(corner, insize):
         return gather_blocks(vol, [corner], insize)[0]
 
-    out = predict_tiled(fetch_tile, lambda p, x: gen.apply(p, x), params,
+    out = predict_tiled(fetch_tile, gen.apply, params,
                         start=(64, 64, 64), size=request,
                         outdimsize=meta.outdimsize, buffer=meta.buffer,
                         meanstd_x=meta.meanstd_x, meanstd_y=meta.meanstd_y)

@@ -22,7 +22,7 @@ def setup():
 
 def test_device_stitch_matches_host_path(setup):
     gen, params, vol = setup
-    apply_fn = lambda p, x: gen.apply(p, x)
+    apply_fn = gen.apply
     ms_x, ms_y = (0.1, 0.9), (0.05, 1.1)
 
     def fetch_tile(corner, insize):
@@ -39,7 +39,7 @@ def test_device_stitch_matches_host_path(setup):
 
 def test_device_stitch_single_tile(setup):
     gen, params, vol = setup
-    apply_fn = lambda p, x: gen.apply(p, x)
+    apply_fn = gen.apply
     got = device_predict_tiled(vol, apply_fn, params, (40, 40, 40),
                                (36, 36, 36), 40, 17, (0, 1), (0, 1),
                                batch_size=8)
@@ -53,7 +53,7 @@ def test_device_stitch_dp_mesh_matches_single_device(setup):
     from transfer_em_tpu.parallel import make_mesh
 
     gen, params, vol = setup
-    apply_fn = lambda p, x: gen.apply(p, x)
+    apply_fn = gen.apply
     ms_x, ms_y = (0.1, 0.9), (0.05, 1.1)
     mesh = make_mesh(8, data=8, space=1)
 
@@ -73,7 +73,7 @@ def test_predict_volume_device_mode_accepts_mesh(setup):
     from transfer_em_tpu.parallel import make_mesh
 
     gen, params, vol = setup
-    apply_fn = lambda p, x: gen.apply(p, x)
+    apply_fn = gen.apply
     mesh = make_mesh(4, data=4, space=1)
     got = predict_volume(vol, apply_fn, params, (40, 40, 40), (36, 36, 36),
                          (0, 1), (0, 1), mode="device", batch_size=2,
@@ -87,7 +87,7 @@ def test_predict_volume_rejects_mesh_for_non_device_modes(setup):
     from transfer_em_tpu.infer import predict_volume
     gen, params, vol = setup
     with pytest.raises(ValueError, match="mode='device'"):
-        predict_volume(vol, lambda p, x: gen.apply(p, x), params,
+        predict_volume(vol, gen.apply, params,
                        (0, 0, 0), (36, 36, 36), (0, 1), (0, 1),
                        mode="slab", mesh=object())
 
@@ -100,7 +100,7 @@ def test_slab_predict_matches_whole_shot(setup):
     from transfer_em_tpu.infer.slab import slab_predict
     from transfer_em_tpu.ops.normalize import postprocess_to_u8, preprocess_u8
     gen, params, vol = setup
-    apply_fn = lambda p, x: gen.apply(p, x)
+    apply_fn = gen.apply
     ms_x, ms_y = (0.1, 0.9), (0.05, 1.1)
 
     start, size = (30, 40, 20), (40, 36, 80)  # xyz; 80 z -> 2 slabs
@@ -130,7 +130,7 @@ def test_predict_volume_modes_agree(setup):
     its aligned whole-shot (covered above) and matches shapes here."""
     from transfer_em_tpu.infer import predict_volume
     gen, params, vol = setup
-    apply_fn = lambda p, x: gen.apply(p, x)
+    apply_fn = gen.apply
     args = (vol, apply_fn, params, (40, 40, 40), (36, 36, 36), (0.1, 0.9),
             (0.05, 1.1))
     a = predict_volume(*args, mode="device")
@@ -147,7 +147,7 @@ def test_predict_volume_device_resident_roundtrip(setup):
     produce the same voxels as the numpy path, for both device modes."""
     from transfer_em_tpu.infer import predict_volume
     gen, params, vol = setup
-    apply_fn = lambda p, x: gen.apply(p, x)
+    apply_fn = gen.apply
     vol_d = jax.device_put(vol)
     for mode in ("device", "slab"):
         args = (apply_fn, params, (40, 40, 40), (36, 36, 36), (0.1, 0.9),

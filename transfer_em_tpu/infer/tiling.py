@@ -75,6 +75,23 @@ def plan_tiles(start: Sequence[int], size: Sequence[int], outdimsize: int,
                     padded_size=padded_zyx)
 
 
+def data_sharding(mesh):
+    """NamedSharding over the mesh's 'data' axis for tile batches.
+
+    The host-streaming serving surface takes a Mesh (predict_tiled(mesh=),
+    predict_ng_cube(mesh=), ModelService(mesh=)) and fans each tile batch
+    out data-parallel — the multi-chip path for requests whose source does
+    NOT fit in HBM (HBM-resident volumes use predict_volume(mesh=))."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    if "data" not in mesh.shape:
+        raise ValueError(
+            f"tiled inference needs a mesh with a 'data' axis (got axes "
+            f"{tuple(mesh.shape)}); for spatially-sharded inference use "
+            "parallel.halo_predict")
+    return NamedSharding(mesh, PartitionSpec("data"))
+
+
 @functools.lru_cache(maxsize=64)
 def _tile_step_jit(gen_apply: Callable, meanstd_x, meanstd_y, tpad: int,
                    sharding):
@@ -132,6 +149,7 @@ def predict_tiled(
         fetch_input: bool = False,
         sharding=None,
         fetch_threads: int = 8,
+        mesh=None,
 ) -> np.ndarray | Tuple[np.ndarray, np.ndarray]:
     """Full tiled inference: fetch -> batched jitted predict -> stitch -> crop.
 
@@ -139,10 +157,20 @@ def predict_tiled(
       fetch_tile: (corner_xyz, insize) -> uint8 cube (the data source).
       gen_apply: generator forward (params, float batch) -> float batch.
       batch_size: tiles per device step (reference ran batch=1 serially).
+      mesh: optional Mesh with a 'data' axis — each tile batch is sharded
+        across it (batch_size is rounded up to a multiple of the axis size).
+        ``sharding`` accepts a prebuilt NamedSharding instead.
     Returns:
       zyx uint8 array of ``size`` (and the input volume if fetch_input).
     """
     from ..data.sources import _parallel_fetch
+
+    if mesh is not None:
+        if sharding is not None:
+            raise ValueError("pass either mesh= or sharding=, not both")
+        sharding = data_sharding(mesh)
+        ndev = int(mesh.shape["data"])
+        batch_size = -(-batch_size // ndev) * ndev
 
     plan = plan_tiles(start, size, outdimsize, buffer)
     step = make_tile_step(gen_apply, params, meanstd_x, meanstd_y, plan.tpad,
@@ -198,18 +226,19 @@ def predict_ng_cube(location: str, start, size, model, meanstd_x, meanstd_y,
                     cloudrun: Optional[str] = None, fetch_input: bool = False,
                     outdimsize: Optional[int] = None,
                     buffer: Optional[int] = None,
-                    batch_size: int = 8):
+                    batch_size: int = 8, mesh=None):
     """API-parity tiled inference from ng-precomputed (reference utils.py:41).
 
     ``model``: an EM2EM instance (uses generator G) or a (gen_apply, params)
-    pair with explicit outdimsize/buffer.
+    pair with explicit outdimsize/buffer.  ``mesh``: fan tile batches out
+    data-parallel over a Mesh 'data' axis (see predict_tiled).
     """
     from ..data.sources import CloudRunFetcher, open_tensorstore
 
     if hasattr(model, "outdimsize"):
         outdimsize = outdimsize if outdimsize is not None else model.outdimsize
         buffer = buffer if buffer is not None else model.buffer
-        gen_apply = lambda p, x: model.gen.apply(p, x)
+        gen_apply = model.gen.apply  # stable bound method keys the jit cache
         params = model.state.gg
     else:
         gen_apply, params = model
@@ -234,4 +263,5 @@ def predict_ng_cube(location: str, start, size, model, meanstd_x, meanstd_y,
 
     return predict_tiled(fetch_tile, gen_apply, params, start, size,
                          outdimsize, buffer, meanstd_x, meanstd_y,
-                         batch_size=batch_size, fetch_input=fetch_input)
+                         batch_size=batch_size, fetch_input=fetch_input,
+                         mesh=mesh)
