@@ -1,0 +1,165 @@
+"""Two-process multi-host DP training on CPU (VERDICT round 1 item 3).
+
+Spawns two REAL Python processes, each with 2 simulated CPU devices, joined
+by ``parallel.distributed.initialize`` (jax.distributed + gloo CPU
+collectives) into one 4-device global mesh.  Asserts:
+
+* ``dp.host_local_batch`` assembles the global batch from per-host shards
+  (each process passes only its 4 of 8 rows);
+* one DP train step agrees with the single-process step on the same global
+  batch (losses AND updated params);
+* ``sources.host_sharded_seed`` ROI streams are disjoint between hosts but
+  reproducible (harness re-derives both streams from the seed formula).
+
+This is the first executed coverage of parallel/distributed.py:23-55 — the
+multi-host path SURVEY §2.3 names as a first-class obligation.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")  # sitecustomize forces axon,cpu
+
+pid = int(sys.argv[1]); port = sys.argv[2]; outdir = sys.argv[3]
+
+sys.path.insert(0, {repo!r})
+from transfer_em_tpu.config import CycleGANConfig
+from transfer_em_tpu.data.sources import corner_stream, host_sharded_seed
+from transfer_em_tpu.parallel import make_mesh
+from transfer_em_tpu.parallel.dp import host_local_batch, make_dp_train_step
+from transfer_em_tpu.parallel.distributed import barrier, initialize, process_info
+from transfer_em_tpu.train import create_state
+
+initialize("127.0.0.1:" + port, num_processes=2, process_id=pid)
+assert process_info() == (pid, 2, 2), process_info()
+assert jax.device_count() == 4
+
+import jax.numpy as jnp
+cfg = CycleGANConfig(dimsize=74, is3d=False, wf=32)
+state = create_state(cfg, jax.random.PRNGKey(0))  # same on both hosts
+mesh = make_mesh(4)
+
+# Global batch rows 0..7; this host contributes rows [pid*4, pid*4+4)
+# (mesh device order = process order for the leading 'data' axis).
+rng = np.random.default_rng(7)
+gx = rng.normal(size=(8, 74, 74, 1)).astype(np.float32)
+gy = rng.normal(size=(8, 74, 74, 1)).astype(np.float32)
+x = host_local_batch(gx[pid * 4:pid * 4 + 4], mesh)
+y = host_local_batch(gy[pid * 4:pid * 4 + 4], mesh)
+assert x.shape == (8, 74, 74, 1), x.shape  # GLOBAL shape from local shards
+
+# host_local_batch round-trip: the addressable shards hold this host's rows.
+for shard in x.addressable_shards:
+    np.testing.assert_array_equal(
+        np.asarray(shard.data), gx[shard.index[0]])
+
+# AOT-compile, then rendezvous: the gloo clique init at the FIRST collective
+# execution has a hard ~30s window, which compile-time skew between the two
+# processes can blow (observed under suite load); the coordination-service
+# barrier (long timeout, no collectives) removes the skew.
+step = make_dp_train_step(cfg, mesh, donate=False)
+compiled = step.lower(state, x, y, jax.random.PRNGKey(1)).compile()
+barrier("mh_step_ready")
+new_state, loss = compiled(state, x, y, jax.random.PRNGKey(1))
+
+# ROI streams: per-host seed -> first 5 corners.
+seed = host_sharded_seed(42)
+corners = [c for c, _ in zip(
+    corner_stream(((0, 0, 0), (100, 100, 100)), 74, seed), range(5))]
+
+result = {{
+    "pid": pid,
+    "loss": np.asarray(loss).tolist(),
+    "stem_sum": float(np.abs(np.asarray(
+        new_state.gg["params"]["stem"]["kernel"])).sum()),
+    "seed": seed,
+    "corners": corners,
+}}
+with open(os.path.join(outdir, "result_%d.json" % pid), "w") as f:
+    json.dump(result, f)
+print("WORKER_OK", pid)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_dp_matches_single(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER.format(repo=REPO))
+    port = _free_port()
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device count
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), str(port), str(tmp_path)],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    results = {}
+    for pid in (0, 1):
+        with open(tmp_path / f"result_{pid}.json") as f:
+            results[pid] = json.load(f)
+
+    # Both hosts computed the SAME global step (losses + params agree).
+    np.testing.assert_allclose(results[0]["loss"], results[1]["loss"],
+                               rtol=1e-5, atol=1e-6)
+    assert results[0]["stem_sum"] == pytest.approx(results[1]["stem_sum"],
+                                                   rel=1e-6)
+
+    # ... and it equals the single-process step on the same global batch.
+    import jax
+    import jax.numpy as jnp
+    from transfer_em_tpu.config import CycleGANConfig
+    from transfer_em_tpu.train import create_state, make_train_step
+
+    cfg = CycleGANConfig(dimsize=74, is3d=False, wf=32)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    gx = rng.normal(size=(8, 74, 74, 1)).astype(np.float32)
+    gy = rng.normal(size=(8, 74, 74, 1)).astype(np.float32)
+    step = make_train_step(cfg, donate=False)
+    s1, l1 = step(state, jnp.asarray(gx), jnp.asarray(gy),
+                  jax.random.PRNGKey(1))
+    np.testing.assert_allclose(results[0]["loss"], np.asarray(l1),
+                               rtol=5e-4, atol=1e-5)
+    want_stem = float(np.abs(np.asarray(
+        s1.gg["params"]["stem"]["kernel"])).sum())
+    assert results[0]["stem_sum"] == pytest.approx(want_stem, rel=1e-4)
+
+    # ROI streams: disjoint between hosts, reproducible from the formula.
+    from transfer_em_tpu.data.sources import corner_stream
+    assert results[0]["seed"] == 42 * 1_000_003 + 0
+    assert results[1]["seed"] == 42 * 1_000_003 + 1
+    c0, c1 = results[0]["corners"], results[1]["corners"]
+    assert not any(tuple(a) == tuple(b) for a in c0 for b in c1)
+    for pid in (0, 1):
+        want = [c for c, _ in zip(
+            corner_stream(((0, 0, 0), (100, 100, 100)), 74,
+                          results[pid]["seed"]), range(5))]
+        assert [tuple(c) for c in results[pid]["corners"]] == want

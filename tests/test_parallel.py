@@ -85,7 +85,7 @@ def test_halo_predict_matches_unsharded():
 
 
 def test_make_mesh_validation():
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         make_mesh(8, data=3, space=2)  # 6 != 8
     m = make_mesh(8, data=2, space=4)
     assert m.shape["data"] == 2 and m.shape["space"] == 4
@@ -98,9 +98,9 @@ def test_halo_predict_rejects_bad_slabs():
     gen = UNetGenerator(wf=32)
     mesh = make_mesh(8, data=2, space=4)
     apply_fn = lambda p, b: gen.apply(p, b)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         halo_predict_fn(apply_fn, mesh, 17, 4 * 18, 4)  # slab 18 % 4 != 0
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         halo_predict_fn(apply_fn, mesh, 17, 4 * 16, 4)  # slab 16 < buffer 17
 
 
@@ -126,6 +126,87 @@ def test_em2em_to_mesh(tmp_path):
                     jax.tree.leaves(sharded.state.gg)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_em2em_to_mesh_multistep_convergence(tmp_path):
+    """Multi-step DP training on the warp fixture: the meshed model's loss
+    trajectory tracks the single-device model step-for-step AND the cycle
+    loss decreases — the MirroredStrategy TODO (reference cgan.py:8-11)
+    taken to measured completion, not just one verified step."""
+    from test_e2e import make_patches
+    from transfer_em_tpu.data import create_dataset_from_tensors
+    from transfer_em_tpu.debug import warp
+    from transfer_em_tpu.train import EM2EM
+
+    rng = np.random.default_rng(1)
+    patches = make_patches(rng, n=8)
+    # EXACTLY the test_e2e.test_loss_decreases_on_warp_fixture recipe
+    # (batch 4, seeds 1/2/3): its 200-step trajectory is known to collapse
+    # ~5.1 -> ~0.19; the meshed model tracks single-device within 5e-3 per
+    # step, so it must follow the same trajectory.  (batch 8 / 1 step per
+    # epoch has different dynamics and does NOT clear warm-up in 200 steps.)
+    target_ds, _ = create_dataset_from_tensors(
+        patches, batch_size=4, enable_augmentation=False, seed=1)
+    source_ds, _ = create_dataset_from_tensors(
+        patches, batch_size=4, custom_map=warp, enable_augmentation=False,
+        seed=2)
+
+    single = EM2EM(74, "dp_conv_single", is3d=False, wf=32,
+                   checkpoint_root=str(tmp_path / "a"), seed=3)
+    meshed = EM2EM(74, "dp_conv_mesh", is3d=False, wf=32,
+                   checkpoint_root=str(tmp_path / "b"), seed=3)
+    meshed.to_mesh(make_mesh(4))
+
+    # Phase 1: the meshed trajectory tracks single-device step-for-step.
+    hist_s, hist_m = [], []
+    for _ in range(10):
+        for bx, by in zip(source_ds, target_ds):
+            hist_s.append(np.asarray(single.train_step(bx, by)))
+            hist_m.append(np.asarray(meshed.train_step(bx, by)))
+    np.testing.assert_allclose(np.stack(hist_m), np.stack(hist_s),
+                               rtol=5e-3, atol=5e-3)
+    # Phase 2: keep training ONLY the meshed model; cycle loss (col 6)
+    # collapses after the ~120-step GAN warm-up (same fixture/criterion as
+    # the single-device test_e2e.test_loss_decreases_on_warp_fixture).
+    for _ in range(90):
+        for bx, by in zip(source_ds, target_ds):
+            hist_m.append(np.asarray(meshed.train_step(bx, by)))
+    hm = np.stack(hist_m)
+    first, last = hm[:20, 6].mean(), hm[-20:, 6].mean()
+    assert last < first * 0.5, (first, last)
+
+
+def test_em2em_meshed_checkpoint_roundtrip(tmp_path):
+    """Checkpoint save -> restore round-trip of a MESHED model (orbax +
+    sharded arrays): save from a sharded state, auto-restore into a fresh
+    model, re-mesh, and verify bit-identity plus a further in-agreement
+    train step."""
+    from transfer_em_tpu.train import EM2EM
+
+    ckroot = str(tmp_path / "ck")
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(8, 74, 74, 1)).astype(np.float32)
+    y = rng.normal(size=(8, 74, 74, 1)).astype(np.float32)
+
+    model = EM2EM(74, "mesh_ckpt", is3d=False, wf=32,
+                  checkpoint_root=ckroot, seed=0)
+    model.to_mesh(make_mesh(8))
+    model.train_step(x, y)
+    model.train_step(x, y)
+    model.make_checkpoint(1)
+    model.wait_until_finished()
+
+    restored = EM2EM(74, "mesh_ckpt", is3d=False, wf=32,
+                     checkpoint_root=ckroot, seed=99)  # different init seed
+    restored.to_mesh(make_mesh(8, data=4, space=2))  # different mesh shape
+    for a, b in zip(jax.tree.leaves(model.state), jax.tree.leaves(
+            restored.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.state.step) == 2
+
+    l1 = np.asarray(model.train_step(x, y))
+    l2 = np.asarray(restored.train_step(x, y))
+    np.testing.assert_allclose(l1, l2, rtol=2e-4, atol=1e-5)
 
 
 def test_halo_predict_2d():

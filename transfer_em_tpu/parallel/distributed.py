@@ -29,6 +29,12 @@ def initialize(coordinator_address: Optional[str] = None,
     the environment; pass them explicitly for manual clusters.
     """
     import jax
+    if (num_processes is not None and num_processes > 1
+            and str(jax.config.jax_platforms or "").startswith("cpu")):
+        # Multi-process CPU (tests / local validation) needs a cross-process
+        # collectives backend; gloo ships in jaxlib.  TPU pods never take
+        # this branch (ICI/DCN collectives are native there).
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     if num_processes in (None, 1) and coordinator_address is None:
         try:
             jax.distributed.initialize()
@@ -44,3 +50,21 @@ def process_info():
     """(process_index, process_count, local_device_count) for logging/sharding."""
     import jax
     return jax.process_index(), jax.process_count(), jax.local_device_count()
+
+
+def barrier(name: str = "tem_barrier", timeout_s: float = 600.0) -> None:
+    """Cross-process barrier via the coordination service (no collectives).
+
+    Aligns hosts WITHOUT touching the device collective stack — unlike
+    ``multihost_utils.sync_global_devices`` this never compiles or runs a
+    program, so it is safe (and necessary) *before* the first collective:
+    the CPU gloo transport gives each clique a hard ~30 s rendezvous window
+    at context init, which compile-time skew between hosts can blow.
+    AOT-compile the step (``jitted.lower(...).compile()``), call
+    ``barrier()``, then execute.  No-op when not running distributed.
+    """
+    from jax._src import distributed
+    client = distributed.global_state.client
+    if client is None:
+        return
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..shapes import is_valid_dimsize
 from .mesh import SPACE_AXIS
@@ -46,12 +46,16 @@ def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
     Returns:
       f(params, vol) leading-axis sharded -> other spatial axes shrink by 2b.
     """
-    assert z_extent % n_space == 0, (z_extent, n_space)
+    if z_extent % n_space != 0:
+        raise ValueError(
+            f"z extent {z_extent} not divisible by space axis {n_space}")
     slab = z_extent // n_space
-    assert slab % 4 == 0, (
-        f"slab extent {slab} breaks the stride-4 pooling phase; choose a "
-        f"z extent with z/n_space % 4 == 0")
-    assert slab > buffer, f"slab {slab} must exceed halo {buffer}"
+    if slab % 4 != 0:
+        raise ValueError(
+            f"slab extent {slab} breaks the stride-4 pooling phase; choose a "
+            f"z extent with z/n_space % 4 == 0")
+    if slab <= buffer:
+        raise ValueError(f"slab {slab} must exceed halo {buffer}")
     if not is_valid_dimsize(slab + 2 * buffer):
         raise ValueError(f"extended slab {slab + 2*buffer} not a valid dimsize")
 
@@ -73,7 +77,7 @@ def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
         local_fn, mesh=mesh,
         in_specs=(P(), vol_spec),
         out_specs=vol_spec,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(f)
 

@@ -37,9 +37,13 @@ def make_mesh(n_devices: Optional[int] = None,
         devices = devices[:n_devices]
     n = len(devices)
     if data is None:
-        assert n % space == 0, (n, space)
+        if n % space != 0:
+            raise ValueError(
+                f"device count {n} not divisible by space={space}")
         data = n // space
-    assert data * space == n, (data, space, n)
+    if data * space != n:
+        raise ValueError(
+            f"data*space = {data}*{space} != device count {n}")
     arr = np.asarray(devices).reshape(data, space)
     return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
 
