@@ -51,6 +51,7 @@ def test_run_local_predict(tmp_path, monkeypatch):
 
     model = EM2EM(74, "lp_smoke", is3d=True, wf=32)
     model.make_checkpoint(1)
+    model.wait_until_finished()  # saves are async; the example reads the dir
 
     sys.path.insert(0, "/root/repo/examples")
     try:

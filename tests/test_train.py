@@ -172,8 +172,10 @@ def test_ensemble_apps_equivalent(setup):
 
 
 def test_ensemble_apps_with_disc_prior_falls_back(setup):
-    """With a disc_prior, Dx/Dy param trees differ — ensemble mode must
-    still work by stacking only the generators."""
+    """With a disc_prior, Dx/Dy param trees differ — ensemble mode stacks
+    only the generators (the same_tree=False partial-stacking branch,
+    train/cgan.py).  Must equal batched_apps for the loss vector AND every
+    gradient (same rng -> same dropout draws), not merely stay finite."""
     cfg, gen, disc_x, _, state, x, y = setup
     from transfer_em_tpu.train.cgan import build_models
 
@@ -184,10 +186,23 @@ def test_ensemble_apps_with_disc_prior_falls_back(setup):
     dyp = disc_yp.init(jax.random.PRNGKey(9),
                        jnp.zeros((1, 40, 40, 1), jnp.float32))
     buffer = generator_shapes(cfg.dimsize).buffer
-    _, vec = cyclegan_losses(gen, disc_x, disc_yp, buffer, cfg.focal_gamma,
-                             state.gg, state.gf, state.dx, dyp, x, y,
-                             jax.random.PRNGKey(0), ensemble_apps=True)
-    assert np.all(np.isfinite(np.asarray(vec)))
+    rng = jax.random.PRNGKey(0)
+
+    def make(ensemble):
+        return lambda gg, gf, dx, dy: cyclegan_losses(
+            gen, disc_x, disc_yp, buffer, cfg.focal_gamma,
+            gg, gf, dx, dy, x, y, rng, ensemble_apps=ensemble)
+
+    (ge, ve) = jax.grad(make(True), argnums=(0, 1, 2, 3), has_aux=True)(
+        state.gg, state.gf, state.dx, dyp)
+    (gb, vb) = jax.grad(make(False), argnums=(0, 1, 2, 3), has_aux=True)(
+        state.gg, state.gf, state.dx, dyp)
+    np.testing.assert_allclose(np.asarray(ve), np.asarray(vb),
+                               rtol=1e-5, atol=1e-6)
+    for te, tb in zip(ge, gb):
+        for a, b in zip(jax.tree.leaves(te), jax.tree.leaves(tb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-6)
 
 
 def test_remat_identical_losses_and_grads(setup):

@@ -1,0 +1,213 @@
+"""Interop with reference TF/Keras assets (janelia-flyem/transfer_em).
+
+A user migrating from the reference owns Keras artifacts: generators /
+discriminators built by ``unet_generator`` (reference models/generator.py:22)
+and ``discriminator`` (reference models/discriminator.py:14), saved as
+SavedModel directories or ``.h5`` files (reference utils.py:133-167 exports
+SavedModels; cgan.py:21-29 loads ``.h5`` prior models).  This module converts
+those into our Flax modules + params:
+
+    gen,  params = compat.load_tf_generator("gen_dir_or.h5")
+    disc, params = compat.load_tf_discriminator("disc.h5")
+    prior        = compat.prior_from_tf_generator("prior.h5", "down2")
+
+Weight mapping (proven against the LIVE reference models in
+tests/test_tf_parity.py, the frozen goldens in tests/test_goldens.py, and
+the save->load round-trip in the same file):
+
+* Keras functional models enumerate layers in build order; nested sub-models
+  (the reference's ``downsample`` returns two models SHARING layers,
+  models/utils.py:85) are flattened depth-first with dedupe by variable id.
+* Plain convs store kernels as (*spatial, Cin, Cout) in both frameworks —
+  copied verbatim.  ``Conv*DTranspose`` stores (*spatial, Cout, Cin) —
+  the last two axes are swapped (see ops/convs.py:84-132).
+* Reference convs are bias-free except the discriminator's final 1x1
+  (Keras default use_bias there) — matching our modules exactly.
+
+Width factor ``wf`` and 2D/3D-ness are inferred from the weights themselves
+(stem width = 64//wf, reference generator.py:53; kernel rank 5 == 3D), so no
+sidecar metadata is needed.
+
+Requires tensorflow only at call time (the rest of the package never
+imports TF).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from .models.discriminator import Discriminator
+from .models.generator import UNetGenerator
+
+# (submodule path, nested conv) in reference build order — generator
+# (reference models/generator.py:53-115; our models/generator.py:56-83).
+GEN_SLOTS: Tuple[Tuple[str, str | None], ...] = (
+    ("stem", None), ("down1", "conv"), ("down1", "down"),
+    ("down2", "conv"), ("down2", "down"), ("up1", "conv"), ("up1", "up"),
+    ("mid", None), ("up0", "conv"), ("up0", "up"),
+    ("head", None), ("out", None))
+
+# Discriminator orders (reference models/discriminator.py:39-103; the 2D
+# model never builds down1 — the HACK quirk, discriminator.py:44-55).
+DISC_SLOTS_3D: Tuple[Tuple[str, str | None], ...] = (
+    ("down1", "conv"), ("down1", "down"), ("hack", None),
+    ("down2", "conv"), ("down2", "down"), ("down3", "conv"),
+    ("down3", "down"), ("head", None), ("out", None))
+DISC_SLOTS_2D: Tuple[Tuple[str, str | None], ...] = (
+    ("hack", None), ("down2", "conv"), ("down2", "down"),
+    ("down3", "conv"), ("down3", "down"), ("head", None), ("out", None))
+
+WeightGroup = Tuple[str, List[np.ndarray], str]  # (name, arrays, class_name)
+
+
+def _as_keras_model(source):
+    """Accept a live Keras model or a path (.h5 file / SavedModel dir)."""
+    if isinstance(source, str):
+        import tensorflow as tf
+        return tf.keras.models.load_model(source, compile=False)
+    return source
+
+
+def keras_conv_weights(model) -> List[WeightGroup]:
+    """All unique weight groups of a Keras functional model, build order,
+    nested sub-models flattened, shared layers deduped.
+
+    Dedupe is two-level: by variable id (live models — the reference's
+    ``downsample`` returns two models SHARING layer objects), and by
+    (layer name, value digest) — an ``.h5``/SavedModel round trip loses
+    object sharing and materializes each shared layer once per nested
+    model, with identical names and identical values.  Distinct layers
+    that merely collide on name (Keras reuses nested-model layer names)
+    keep different values and survive.
+    """
+    import hashlib
+
+    import tensorflow as tf
+    out: List[WeightGroup] = []
+    seen_ids: set = set()
+    seen_sigs: set = set()
+
+    def visit(layer):
+        if isinstance(layer, tf.keras.Model) and layer is not model:
+            for sub in layer.layers:
+                visit(sub)
+        elif layer.weights:
+            fresh = [w for w in layer.weights if id(w) not in seen_ids]
+            if not fresh:
+                return
+            arrays = [np.asarray(w) for w in fresh]
+            h = hashlib.sha1()
+            for a in arrays:
+                h.update(np.ascontiguousarray(a).tobytes())
+            sig = (layer.name, h.hexdigest())
+            if sig in seen_sigs:
+                return
+            seen_ids.update(id(w) for w in fresh)
+            seen_sigs.add(sig)
+            out.append((layer.name, arrays, type(layer).__name__))
+
+    for layer in model.layers:
+        visit(layer)
+    return out
+
+
+def assign_weights(params, slots: Sequence[Tuple[str, str | None]],
+                   groups: Sequence[WeightGroup]):
+    """Copy reference weight groups (build order) into our param tree.
+
+    Returns a NEW params pytree; shapes are checked slot by slot.
+    """
+    if len(groups) != len(slots):
+        raise ValueError(
+            f"weight-group count {len(groups)} != expected {len(slots)} "
+            f"slots — not a reference-architecture model? "
+            f"(groups: {[n for n, _, _ in groups]})")
+    p = jax.tree.map(lambda v: v, params["params"])  # structural copy
+    for (path, sub), (name, arrays, cls) in zip(slots, groups):
+        tgt = p[path] if sub is None else p[path][sub]
+        for arr in arrays:
+            if arr.ndim >= 4:  # conv kernel
+                if "Transpose" in cls or sub == "up":
+                    arr = np.swapaxes(arr, -1, -2)
+                if tuple(tgt["kernel"].shape) != arr.shape:
+                    raise ValueError(
+                        f"kernel shape mismatch at {path}/{sub or ''} "
+                        f"({name}): ours {tuple(tgt['kernel'].shape)} vs "
+                        f"theirs {arr.shape}")
+                tgt["kernel"] = arr
+            else:
+                if "bias" not in tgt:
+                    raise ValueError(
+                        f"reference layer {name} carries a bias but our "
+                        f"{path}/{sub or ''} slot has none")
+                tgt["bias"] = arr
+    return {"params": p}
+
+
+def _template_params(module, is3d: bool, dimsize: int):
+    import jax.numpy as jnp
+    sp = (dimsize,) * (3 if is3d else 2)
+    return jax.eval_shape(
+        lambda k: module.init(k, jnp.zeros((1,) + sp + (1,), jnp.float32)),
+        jax.random.PRNGKey(0))
+
+
+def _concretize(abstract):
+    """eval_shape gives an abstract tree; materialize zeros for assignment
+    (every leaf is overwritten, so values never matter — this skips running
+    a real init)."""
+    return jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), abstract)
+
+
+def load_tf_generator(source) -> Tuple[UNetGenerator, dict]:
+    """Reference Keras generator (model/.h5/SavedModel) -> (module, params).
+
+    ``wf`` and 2D/3D are inferred from the stem conv (width 64//wf,
+    reference generator.py:53; rank 5 kernels == 3D).
+    """
+    groups = keras_conv_weights(_as_keras_model(source))
+    if not groups or groups[0][1][0].ndim < 4:
+        raise ValueError("first weight group is not a conv kernel")
+    stem = groups[0][1][0]
+    is3d = stem.ndim == 5
+    wf = 64 // int(stem.shape[-1])
+    gen = UNetGenerator(wf=wf)
+    params = _concretize(_template_params(gen, is3d, 74))
+    return gen, assign_weights(params, GEN_SLOTS, groups)
+
+
+def load_tf_discriminator(source) -> Tuple[Discriminator, dict]:
+    """Reference Keras discriminator -> (module, params); wf / 2D-3D
+    inferred (3D: 9 weight groups starting at down1; 2D: 7 starting at the
+    16-wide hack conv — the reference 2D model never materializes down1)."""
+    groups = keras_conv_weights(_as_keras_model(source))
+    first = groups[0][1][0]
+    is3d = first.ndim == 5
+    if is3d:
+        wf = 64 // int(first.shape[-1])          # down1 conv = 64//wf
+        slots = DISC_SLOTS_3D
+    else:
+        if len(groups) < 2:
+            raise ValueError("too few weight groups for a discriminator")
+        wf = 256 // int(groups[1][1][0].shape[-1])  # down2 conv = 256//wf
+        slots = DISC_SLOTS_2D
+    disc = Discriminator(is3d=is3d, wf=wf)
+    params = _concretize(_template_params(disc, is3d, 40))
+    return disc, assign_weights(params, slots, groups)
+
+
+def prior_from_tf_generator(source, last_layer: str) -> Callable:
+    """Frozen feature extractor from a reference-architecture Keras model
+    (the create_prior_helper .h5 contract, reference cgan.py:21-29).
+
+    The Keras weights are converted to Flax and the named submodule's output
+    is tapped (``last_layer``: "down1", "down2", "mid", ... — our submodule
+    names, since Keras layer indices don't survive conversion).  Returns a
+    callable suitable as ``disc_prior``.
+    """
+    from .train.cgan import _tap_prior
+    gen, params = load_tf_generator(source)
+    return _tap_prior(gen, params, last_layer)

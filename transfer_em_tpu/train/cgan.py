@@ -45,20 +45,38 @@ LossVector = jax.Array  # (7,) [g_gen_total, f_gen_total, disc_y, disc_x,
 
 
 def create_prior_helper(model_dir: str, last_layer: str):
-    """Frozen feature extractor from an exported model's intermediate layer.
+    """Frozen feature extractor from a model's intermediate layer.
 
     The reference loads a Keras .h5, truncates at ``layers[last_layer]``, and
-    marks it untrainable (cgan.py:21-29).  Here: load an exported generator
-    (infer/export.py) and return a callable tapping the named submodule's
-    output with stop_gradient — pass it as ``disc_prior``.
+    marks it untrainable (cgan.py:21-29).  Accepted sources:
+
+    * our exported generator directory (generator.msgpack + meta.json,
+      infer/export.py);
+    * a reference-architecture Keras asset — ``.h5`` file or SavedModel
+      directory — converted via transfer_em_tpu.compat.
+
+    Returns a callable tapping the named submodule's output with
+    stop_gradient — pass it as ``disc_prior``.
 
     Args:
-      model_dir: exported model directory (generator.msgpack + meta.json).
-      last_layer: submodule name to tap, e.g. "down1", "down2", "mid".
+      model_dir: model path as above.
+      last_layer: submodule name to tap, e.g. "down1", "down2", "mid"
+        (Keras layer indices don't survive conversion; use our names).
     """
+    if (model_dir.endswith((".h5", ".keras"))
+            or os.path.exists(os.path.join(model_dir, "saved_model.pb"))):
+        from ..compat import prior_from_tf_generator
+        return prior_from_tf_generator(model_dir, last_layer)
+
     from ..infer.export import load_generator
 
     gen, params, meta = load_generator(model_dir)
+    return _tap_prior(gen, params, last_layer)
+
+
+def _tap_prior(gen, params, last_layer: str):
+    """stop_gradient'd intermediate tap of a generator (shared by
+    create_prior_helper and compat.prior_from_tf_generator)."""
     frozen = jax.tree.map(jax.lax.stop_gradient, params)
 
     def prior(x: jax.Array) -> jax.Array:
@@ -387,11 +405,21 @@ class EM2EM:
             print("Latest checkpoint restored!!")
 
     def make_checkpoint(self, epoch_num: int):
-        """Save a checkpoint (reference cgan.py:105-108)."""
+        """Save a checkpoint (reference cgan.py:105-108).
+
+        Orbax saves ASYNCHRONOUSLY — the serialize/write happens on a
+        background thread while training continues (the old explicit
+        wait_until_finished here serialized every save into the step loop).
+        ``wait_until_finished`` is called before restores and at the end of
+        ``train``; call it yourself before reading checkpoint files directly.
+        """
         self._ckpt_mgr.save(epoch_num, args=self._save_args())
-        self._ckpt_mgr.wait_until_finished()
         print(f"Saving checkpoint for epoch {epoch_num} at "
               f"{self.checkpoint_path}/{epoch_num}")
+
+    def wait_until_finished(self):
+        """Block until any in-flight async checkpoint save completes."""
+        self._ckpt_mgr.wait_until_finished()
 
     def _save_args(self):
         import orbax.checkpoint as ocp
@@ -399,6 +427,7 @@ class EM2EM:
 
     def _restore_step(self, step: int, mgr=None):
         import orbax.checkpoint as ocp
+        self._ckpt_mgr.wait_until_finished()  # drain any in-flight save
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, self.state)
         self.state = (mgr or self._ckpt_mgr).restore(
             step, args=ocp.args.StandardRestore(abstract))
@@ -518,6 +547,7 @@ class EM2EM:
                                 sample, sample_pred, show=False,
                                 save_path=f"{self.exp_name}_sample.png")
                 print(f"Time taken for epoch {epoch+1} is {time.time()-t0}")
+        self.wait_until_finished()  # drain the async checkpoint writer
         logger.close()
 
     # ------------------------------------------------------------ inspection

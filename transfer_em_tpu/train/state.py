@@ -27,6 +27,12 @@ def make_optimizer(lr: float = 2e-4, b1: float = 0.5, b2: float = 0.999,
     early steps.  The difference only matters where sqrt(v) ~ eps, but this
     package advertises train-step parity, so the update rule is implemented
     exactly.
+
+    Checkpoint-format note: the optimizer state is a bare ScaleByAdamState,
+    NOT optax.adam's (ScaleByAdamState, EmptyState) chain tuple — checkpoints
+    written by pre-2026-08-16 builds (which used optax.adam) have a different
+    opt-state pytree structure and will not StandardRestore into this one.
+    No such checkpoints shipped; documented here in case one resurfaces.
     """
 
     def init_fn(params):
