@@ -197,9 +197,13 @@ def create_dataset_from_tensors(
     # cache semantics (datasets.py:47-60).
     if custom_map is not None:
         _k5 = jax.random.fold_in(base_key, 5000)
-        element_keys = np.asarray(
-            jax.jit(jax.vmap(lambda i: jax.random.fold_in(_k5, i)))(
-                jnp.arange(n)))
+        # Eager vmap on the CPU backend: a jit here would pay a remote
+        # compile-service round trip per fresh-cache dataset construction
+        # (CLAUDE.md); threefry fold_in is backend-deterministic so the key
+        # values are identical either way.
+        with jax.default_device(jax.devices("cpu")[0]):
+            element_keys = np.asarray(
+                jax.vmap(lambda i: jax.random.fold_in(_k5, i))(jnp.arange(n)))
     else:
         element_keys = None
     _unused_key = jax.random.PRNGKey(0)  # placeholder when custom_map is None

@@ -148,7 +148,7 @@ def tconv3(x: jax.Array, w: jax.Array, leaky: float = -1.0) -> jax.Array:
         kern,
         grid=(bsz, od),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x2 stays in HBM; DMA'd
+            pl.BlockSpec(memory_space=pl.ANY),  # x2 stays in HBM; DMA'd
             pl.BlockSpec((9 * LANE, wt * o), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
