@@ -114,6 +114,27 @@ def _tconv3_kernel(oh: int, nw: int, wt: int, c: int, h8: int, wcp: int,
     o_ref[0, 0] = y.astype(o_ref.dtype)
 
 
+def tconv3_layout(x: jax.Array) -> jax.Array:
+    """The pre-kernel relayout: (B, D, H, W, C) -> padded (B, D, H8, WCP).
+
+    W is padded so the last strip can read WT+2 pixels, H to a multiple of 8
+    and the fused W*C lane dim to a multiple of 128 (Mosaic DMA slices must
+    align to the (8, 128) tile; the kernel DMAs full padded trailing dims).
+    Exposed separately so bench_chain.py can time the GEMM kernel with the
+    relayout amortized away (the "chained layers" bound, PERF.md)."""
+    bsz, d, h, wdim, c = x.shape
+    wt = LANE // c - 2
+    nw = -(-(wdim - 2) // wt)
+    wp = nw * wt + 2
+    xb = x.astype(jnp.bfloat16)
+    if wp > wdim:
+        xb = jnp.pad(xb, ((0, 0), (0, 0), (0, 0), (0, wp - wdim), (0, 0)))
+    x2 = xb.reshape(bsz, d, h, wp * c)
+    h8 = -(-h // 8) * 8
+    wcp = -(-(wp * c) // LANE) * LANE
+    return jnp.pad(x2, ((0, 0), (0, 0), (0, h8 - h), (0, wcp - wp * c)))
+
+
 def tconv3(x: jax.Array, w: jax.Array, leaky: float = -1.0) -> jax.Array:
     """3x3x3 VALID stride-1 conv, channels-last, via the Toeplitz kernel.
 
@@ -126,25 +147,31 @@ def tconv3(x: jax.Array, w: jax.Array, leaky: float = -1.0) -> jax.Array:
     od, oh, ow = d - 2, h - 2, wdim - 2
     wt = LANE // c - 2
     nw = -(-ow // wt)  # ceil
-    # pad W so strip nw-1 can read wt+2 pixels
-    wp = nw * wt + 2
     out_dtype = x.dtype
 
-    xb = x.astype(jnp.bfloat16)
-    if wp > wdim:
-        xb = jnp.pad(xb, ((0, 0), (0, 0), (0, 0), (0, wp - wdim), (0, 0)))
-    x2 = xb.reshape(bsz, d, h, wp * c)
-    # Mosaic DMA slices must align to the (8, 128) tile: pad H to 8 and the
-    # lane dim to 128; the kernel DMAs full padded trailing dims.
-    h8 = -(-h // 8) * 8
-    wcp = -(-(wp * c) // LANE) * LANE
-    x2 = jnp.pad(x2, ((0, 0), (0, 0), (0, h8 - h), (0, wcp - wp * c)))
-
+    x2 = tconv3_layout(x)
     bt = _build_toeplitz(w, wt)
+    out = _tconv3_call(x2, bt, c=c, o=o, oh=oh, nw=nw, od=od, leaky=leaky)
 
+    # untangle rows (wb, h) and lanes (wl, o) -> (B, OD, OH, OW, O)
+    y = out.reshape(bsz, od, nw, oh, wt, o)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, od, oh, nw * wt, o)
+    return y[:, :, :, :ow, :].astype(out_dtype)
+
+
+def _tconv3_call(x2: jax.Array, bt: jax.Array, *, c: int, o: int, oh: int,
+                 nw: int, od: int, leaky: float) -> jax.Array:
+    """The bare pallas_call on a pre-laid-out input (B, D, H8, WCP).
+
+    Returns the TANGLED (B, OD, NW*OH, WT*O) strip output (rows (wb, h),
+    lanes (wl, o)).  Exposed (with tconv3_layout) so bench_chain.py can time
+    the GEMM with the relayout amortized away — the per-layer cost a
+    perfectly chained multi-layer kernel would pay."""
+    bsz, _, h8, wcp = x2.shape
+    wt = LANE // c - 2
     kern = functools.partial(_tconv3_kernel, oh, nw, wt, c, h8, wcp, od,
                              leaky)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=(bsz, od),
         in_specs=[
@@ -164,11 +191,6 @@ def tconv3(x: jax.Array, w: jax.Array, leaky: float = -1.0) -> jax.Array:
         ],
         interpret=jax.default_backend() != "tpu",
     )(x2, bt)
-
-    # untangle rows (wb, h) and lanes (wl, o) -> (B, OD, OH, OW, O)
-    y = out.reshape(bsz, od, nw, oh, wt, o)
-    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, od, oh, nw * wt, o)
-    return y[:, :, :, :ow, :].astype(out_dtype)
 
 
 @jax.custom_vjp

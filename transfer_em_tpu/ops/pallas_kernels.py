@@ -53,7 +53,8 @@ def _flatten_pad(x: jax.Array, pad_value) -> Tuple[jax.Array, int, Tuple[int, ..
 def _affine_u8_to_f32_kernel(scale_ref, bias_ref, x_ref, o_ref):
     a = scale_ref[0]
     b = bias_ref[0]
-    o_ref[:] = x_ref[:].astype(jnp.float32) * a + b
+    # Mosaic has no direct u8->f32 cast; widen through i32 (free on the VPU).
+    o_ref[:] = x_ref[:].astype(jnp.int32).astype(jnp.float32) * a + b
 
 
 def preprocess_u8(x_u8: jax.Array, meanstd: Tuple[float, float] | None) -> jax.Array:
@@ -89,7 +90,8 @@ def _affine_f32_to_u8_kernel(scale_ref, bias_ref, x_ref, o_ref):
     b = bias_ref[0]
     y = x_ref[:] * a + b
     y = jnp.clip(jnp.round(y), 0.0, 255.0)
-    o_ref[:] = y.astype(jnp.uint8)
+    # Mosaic has no direct f32->u8 cast; narrow through i32.
+    o_ref[:] = y.astype(jnp.int32).astype(jnp.uint8)
 
 
 def postprocess_u8(y: jax.Array, meanstd: Tuple[float, float] | None) -> jax.Array:
