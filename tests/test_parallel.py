@@ -102,6 +102,39 @@ def test_halo_predict_rejects_bad_slabs():
         halo_predict_fn(apply_fn, mesh, 17, 4 * 18, 4)  # slab 18 % 4 != 0
     with pytest.raises(ValueError):
         halo_predict_fn(apply_fn, mesh, 17, 4 * 16, 4)  # slab 16 < buffer 17
+    with pytest.raises(ValueError):  # data_axis without batched
+        halo_predict_fn(apply_fn, mesh, 17, 4 * 40, 4, data_axis="data")
+    with pytest.raises(ValueError):  # mesh without a 'space' axis
+        import jax as _jax
+        from jax.sharding import Mesh as _Mesh
+        flat = _Mesh(np.array(_jax.devices()[:8]), ("data",))
+        halo_predict(apply_fn, None, jnp.zeros((160, 74, 74, 1)), flat, 17)
+
+
+def test_halo_predict_batched_2d_sharding():
+    """Batched halo inference, batch axis over 'data' AND z over 'space'
+    (2-D mesh sharding), bit-matches the unsharded generator."""
+    gen = UNetGenerator(wf=32)
+    buffer = generator_shapes(74).buffer  # 17
+    n_space, slab = 4, 40
+    Z = n_space * slab  # 160
+    rng = np.random.default_rng(5)
+    vol = jnp.asarray(rng.normal(size=(2, Z, 74, 74, 1)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), vol[:1, :74])
+    mesh = make_mesh(8, data=2, space=4)
+    apply_fn = lambda p, b: gen.apply(p, b)
+
+    got = halo_predict(apply_fn, params, vol, mesh, buffer,
+                       batched=True, data_axis="data")
+    # batch replicated across 'space' only (data_axis=None) must agree too
+    got_rep = halo_predict(apply_fn, params, vol, mesh, buffer, batched=True)
+
+    padded = zero_pad(vol, buffer)[:, :, buffer:-buffer, buffer:-buffer]
+    want = gen.apply(params, padded)
+    assert got.shape == want.shape == (2, Z, 40, 40, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_rep), np.asarray(got))
 
 
 def test_em2em_to_mesh(tmp_path):
