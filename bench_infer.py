@@ -61,8 +61,10 @@ def bench_stream_e2e(apply_fn, params, ms):
         path = os.path.join(tempfile.gettempdir(), "bench_stream_src.u8")
         vol = np.memmap(path, np.uint8, "w+", shape=(side, side, side))
         tile = (np.arange(64, dtype=np.uint8)[:, None, None]
-                + np.arange(64, dtype=np.uint8)[None, None, :])
-        vol[:] = np.tile(tile, (side // 64, side // 64, side // 64))
+                + np.arange(64, dtype=np.uint8)[None, None, :])  # (64,1,64)
+        plane = np.tile(tile, (1, side, side // 64))  # one 64-deep z-slab
+        for z in range(0, side, 64):  # slab-wise: don't hold 4 GB in RAM
+            vol[z:z + 64] = plane
         start = (20, 20, 20)
         size = (side - 64,) * 3
         budget = 1 << 30
