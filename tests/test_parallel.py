@@ -137,6 +137,70 @@ def test_halo_predict_batched_2d_sharding():
     np.testing.assert_array_equal(np.asarray(got_rep), np.asarray(got))
 
 
+def test_halo_predict_2axis_spatial():
+    """2-D spatial decomposition: z over 'space' AND y over 'space_y'
+    (corner halos via sequential per-axis exchange) == unsharded generator
+    on the z+y-padded volume (parallel/halo.py)."""
+    gen = UNetGenerator(wf=32)
+    buffer = generator_shapes(74).buffer  # 17
+    slab = 20  # slab % 4 == 0; slab + 34 = 54 valid
+    Z, Y = 4 * slab, 2 * slab
+    rng = np.random.default_rng(7)
+    vol = jnp.asarray(rng.normal(size=(Z, Y, 74, 1)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), vol[None, :74, :74])
+    mesh = make_mesh(8, data=1, space=4, space_y=2)
+    apply_fn = lambda p, b: gen.apply(p, b)
+
+    got = halo_predict(apply_fn, params, vol, mesh, buffer,
+                       y_axis="space_y")
+
+    padded = zero_pad(vol[None], buffer)[:, :, :, buffer:-buffer]
+    # zero_pad pads all spatial axes; undo x so only z and y are padded
+    want = gen.apply(params, padded)[0]
+    assert got.shape == want.shape == (Z, Y, 40, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_halo_predict_3axis_batched():
+    """Full 3-D sharding: batch over 'data', z over 'space', y over
+    'space_y' on a (2,2,2) mesh, vs the unsharded generator."""
+    gen = UNetGenerator(wf=32)
+    buffer = generator_shapes(74).buffer
+    slab = 20
+    Z = Y = 2 * slab
+    rng = np.random.default_rng(9)
+    vol = jnp.asarray(rng.normal(size=(2, Z, Y, 74, 1)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), vol[:1, :74, :74])
+    mesh = make_mesh(8, data=2, space=2, space_y=2)
+    apply_fn = lambda p, b: gen.apply(p, b)
+
+    got = halo_predict(apply_fn, params, vol, mesh, buffer,
+                       batched=True, data_axis="data", y_axis="space_y")
+
+    padded = zero_pad(vol, buffer)[:, :, :, buffer:-buffer]
+    want = gen.apply(params, padded)
+    assert got.shape == want.shape == (2, Z, Y, 40, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_halo_predict_y_axis_validation():
+    from transfer_em_tpu.parallel.halo import halo_predict_fn
+    gen = UNetGenerator(wf=32)
+    apply_fn = lambda p, b: gen.apply(p, b)
+    mesh2 = make_mesh(8, data=2, space=4)  # no space_y axis
+    with pytest.raises(ValueError, match="space_y"):
+        halo_predict_fn(apply_fn, mesh2, 17, 4 * 40, 4,
+                        y_axis="space_y", y_extent=40)
+    mesh3 = make_mesh(8, data=1, space=4, space_y=2)
+    with pytest.raises(ValueError, match="y_extent"):
+        halo_predict_fn(apply_fn, mesh3, 17, 4 * 20, 4, y_axis="space_y")
+    with pytest.raises(ValueError, match="y slab"):  # y slab 16 < buffer 17
+        halo_predict_fn(apply_fn, mesh3, 17, 4 * 20, 4,
+                        y_axis="space_y", y_extent=2 * 16)
+
+
 def test_em2em_to_mesh(tmp_path):
     """EM2EM.to_mesh() trains data-parallel and matches the single-device
     model given identical seeds and batches."""

@@ -23,6 +23,14 @@ Batched mode (``batched=True``): inputs (B, Z, Y, X, 1) with the SECOND
 axis sharded; optionally the batch axis is ALSO sharded over a ``data``
 mesh axis (``data_axis='data'``), giving true 2-D batch x space sharding
 on a ('data', 'space') mesh — the layout for fleets of large requests.
+
+2-D spatial decomposition (``y_axis='space_y'``): the SECOND spatial axis
+is additionally sharded over a second mesh axis (make_mesh(space=, space_y=)),
+so a huge (Z, Y) face splits into a device grid instead of z-stripes —
+the layout when Z alone has too few valid slabs for the device count.
+Corner halos are handled by exchanging axes sequentially: the y exchange
+sends rows of the already-z-extended block, so diagonal-neighbor data
+arrives via the shared edge device in one ppermute round per axis.
 """
 
 from __future__ import annotations
@@ -39,9 +47,27 @@ from ..shapes import is_valid_dimsize
 from .mesh import SPACE_AXIS
 
 
+def _check_slab(extent: int, n_dev: int, buffer: int, name: str) -> None:
+    """Validate one sharded spatial axis's per-device slab geometry."""
+    if extent % n_dev != 0:
+        raise ValueError(
+            f"{name} extent {extent} not divisible by its mesh axis {n_dev}")
+    slab = extent // n_dev
+    if slab % 4 != 0:
+        raise ValueError(
+            f"{name} slab extent {slab} breaks the stride-4 pooling phase; "
+            f"choose an extent with extent/n_devices % 4 == 0")
+    if slab <= buffer:
+        raise ValueError(f"{name} slab {slab} must exceed halo {buffer}")
+    if not is_valid_dimsize(slab + 2 * buffer):
+        raise ValueError(
+            f"extended {name} slab {slab + 2*buffer} not a valid dimsize")
+
+
 def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
                     z_extent: int, n_space: int, ndim_spatial: int = 3,
-                    batched: bool = False, data_axis: str | None = None):
+                    batched: bool = False, data_axis: str | None = None,
+                    y_axis: str | None = None, y_extent: int | None = None):
     """Build the jitted sharded predictor.
 
     Args:
@@ -54,8 +80,12 @@ def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
       data_axis: with ``batched``, optionally ALSO shard the batch axis over
         this mesh axis (2-D batch x space sharding, e.g. a ('data', 'space')
         mesh); None replicates the batch across the space axis.
+      y_axis: optionally ALSO shard the SECOND spatial axis over this mesh
+        axis (2-D z x y spatial decomposition; make_mesh(space=, space_y=)).
+        Requires ``y_extent``, validated like the z slab.
     Returns:
-      f(params, vol) leading-axis sharded -> other spatial axes shrink by 2b.
+      f(params, vol) sharded-axes extents preserved; the remaining
+      (unsharded) spatial axes shrink by 2*buffer as usual.
     """
     if SPACE_AXIS not in mesh.shape:
         raise ValueError(
@@ -66,40 +96,50 @@ def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
     if data_axis is not None and data_axis not in mesh.shape:
         raise ValueError(f"mesh has no '{data_axis}' axis "
                          f"(got axes {tuple(mesh.shape)})")
-    if z_extent % n_space != 0:
-        raise ValueError(
-            f"z extent {z_extent} not divisible by space axis {n_space}")
-    slab = z_extent // n_space
-    if slab % 4 != 0:
-        raise ValueError(
-            f"slab extent {slab} breaks the stride-4 pooling phase; choose a "
-            f"z extent with z/n_space % 4 == 0")
-    if slab <= buffer:
-        raise ValueError(f"slab {slab} must exceed halo {buffer}")
-    if not is_valid_dimsize(slab + 2 * buffer):
-        raise ValueError(f"extended slab {slab + 2*buffer} not a valid dimsize")
+    _check_slab(z_extent, n_space, buffer, "z")
+    n_y = 0
+    if y_axis is not None:
+        if y_axis not in mesh.shape:
+            raise ValueError(f"mesh has no '{y_axis}' axis (got axes "
+                             f"{tuple(mesh.shape)}); use "
+                             f"parallel.make_mesh(n, space=, space_y=)")
+        if ndim_spatial < 2:
+            raise ValueError("y_axis needs >= 2 spatial dims")
+        if y_extent is None:
+            raise ValueError("y_axis requires y_extent")
+        n_y = int(mesh.shape[y_axis])
+        _check_slab(y_extent, n_y, buffer, "y")
 
-    fwd_perm = [(i, i + 1) for i in range(n_space - 1)]   # send down-edge right
-    bwd_perm = [(i + 1, i) for i in range(n_space - 1)]   # send up-edge left
+    zax = 1 if batched else 0  # the first sharded spatial axis in the block
 
-    zax = 1 if batched else 0  # the sharded spatial axis within the block
+    def exchange(block, axis, mesh_axis, n_dev):
+        # Halo exchange along one block axis: neighbors' boundary planes;
+        # global edges get zeros (ppermute leaves non-receiving devices
+        # with zeros).
+        fwd = [(i, i + 1) for i in range(n_dev - 1)]  # send down-edge right
+        bwd = [(i + 1, i) for i in range(n_dev - 1)]  # send up-edge left
+        n = block.shape[axis]
+        hi = lax.slice_in_dim(block, n - buffer, n, axis=axis)
+        lo = lax.slice_in_dim(block, 0, buffer, axis=axis)
+        upper = lax.ppermute(hi, mesh_axis, fwd)
+        lower = lax.ppermute(lo, mesh_axis, bwd)
+        return jnp.concatenate([upper, block, lower], axis=axis)
 
     def local_fn(params, vol_slab):
         # vol_slab: (slab, Y, X, 1) per device ((B_local, slab, ...) batched).
-        # Halo exchange: neighbors' boundary planes; global edges get zeros
-        # (ppermute leaves non-receiving devices with zeros).
-        n = vol_slab.shape[zax]
-        hi = lax.slice_in_dim(vol_slab, n - buffer, n, axis=zax)
-        lo = lax.slice_in_dim(vol_slab, 0, buffer, axis=zax)
-        upper = lax.ppermute(hi, SPACE_AXIS, fwd_perm)
-        lower = lax.ppermute(lo, SPACE_AXIS, bwd_perm)
-        ext = jnp.concatenate([upper, vol_slab, lower], axis=zax)
+        ext = exchange(vol_slab, zax, SPACE_AXIS, n_space)
+        if y_axis is not None:
+            # Exchanging the z-EXTENDED block along y ships the corner halos
+            # too (each y-neighbor already holds its z-halo rows).
+            ext = exchange(ext, zax + 1, y_axis, n_y)
         if batched:
             return gen_apply(params, ext)
         return gen_apply(params, ext[None])[0]
 
     lead = (data_axis,) if batched else ()
-    vol_spec = P(*lead, SPACE_AXIS, *([None] * ndim_spatial))  # + channel ax
+    tail = [y_axis] + [None] * (ndim_spatial - 1) if y_axis is not None \
+        else [None] * ndim_spatial  # second spatial axis .. channel axis
+    vol_spec = P(*lead, SPACE_AXIS, *tail)
     f = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(), vol_spec),
@@ -111,14 +151,16 @@ def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
 
 def halo_predict(gen_apply: Callable, params, vol: jax.Array, mesh: Mesh,
                  buffer: int, batched: bool = False,
-                 data_axis: str | None = None) -> jax.Array:
+                 data_axis: str | None = None,
+                 y_axis: str | None = None) -> jax.Array:
     """One-shot convenience wrapper: shard vol over 'space' and predict.
 
     vol: (Z, Y, X, 1) volume or (Y, X, 1) image, leading axis sharded —
     or, with ``batched=True``, a batch of them (B, Z, Y, X, 1) where the
     SECOND axis is sharded (and optionally the batch axis too, over
     ``data_axis`` — 2-D batch x space sharding on e.g. a ('data', 'space')
-    mesh).
+    mesh).  ``y_axis``: also shard the second spatial axis over that mesh
+    axis (2-D z x y spatial decomposition, make_mesh(space=, space_y=)).
     """
     n_space = mesh.shape.get(SPACE_AXIS)
     if n_space is None:
@@ -126,10 +168,15 @@ def halo_predict(gen_apply: Callable, params, vol: jax.Array, mesh: Mesh,
             f"halo_predict needs a mesh with a '{SPACE_AXIS}' axis (got axes "
             f"{tuple(mesh.shape)}); use parallel.make_mesh(n, space=...)")
     ndim_spatial = vol.ndim - (2 if batched else 1)
-    z_extent = vol.shape[1 if batched else 0]
+    off = 1 if batched else 0
+    z_extent = vol.shape[off]
+    y_extent = vol.shape[off + 1] if y_axis is not None else None
     f = halo_predict_fn(gen_apply, mesh, buffer, z_extent, n_space,
-                        ndim_spatial, batched=batched, data_axis=data_axis)
+                        ndim_spatial, batched=batched, data_axis=data_axis,
+                        y_axis=y_axis, y_extent=y_extent)
     lead = (data_axis,) if batched else ()
-    spec = P(*lead, SPACE_AXIS, *([None] * ndim_spatial))
+    tail = [y_axis] + [None] * (ndim_spatial - 1) if y_axis is not None \
+        else [None] * ndim_spatial
+    spec = P(*lead, SPACE_AXIS, *tail)
     vol = jax.device_put(vol, NamedSharding(mesh, spec))
     return f(params, vol)

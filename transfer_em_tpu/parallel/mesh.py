@@ -20,16 +20,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SPACE_AXIS = "space"
+SPACE_Y_AXIS = "space_y"
 
 
 def make_mesh(n_devices: Optional[int] = None,
               data: Optional[int] = None,
               space: int = 1,
+              space_y: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, space) mesh over the available devices.
+    """Build a (data, space[, space_y]) mesh over the available devices.
 
-    Defaults: all devices on the data axis.  The product data*space must
-    equal the device count.
+    Defaults: all devices on the data axis.  The product data*space*space_y
+    must equal the device count.  ``space_y > 1`` adds a second spatial axis
+    for 2-D (z x y) halo decomposition (parallel/halo.py); when it is 1 the
+    mesh stays 2-D ("data", "space") for backward compatibility.
     """
     if devices is None:
         devices = jax.devices()
@@ -37,13 +41,18 @@ def make_mesh(n_devices: Optional[int] = None,
         devices = devices[:n_devices]
     n = len(devices)
     if data is None:
-        if n % space != 0:
+        if n % (space * space_y) != 0:
             raise ValueError(
-                f"device count {n} not divisible by space={space}")
-        data = n // space
-    if data * space != n:
+                f"device count {n} not divisible by space={space} "
+                f"x space_y={space_y}")
+        data = n // (space * space_y)
+    if data * space * space_y != n:
         raise ValueError(
-            f"data*space = {data}*{space} != device count {n}")
+            f"data*space*space_y = {data}*{space}*{space_y} != "
+            f"device count {n}")
+    if space_y > 1:
+        arr = np.asarray(devices).reshape(data, space, space_y)
+        return Mesh(arr, (DATA_AXIS, SPACE_AXIS, SPACE_Y_AXIS))
     arr = np.asarray(devices).reshape(data, space)
     return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
 
@@ -51,7 +60,7 @@ def make_mesh(n_devices: Optional[int] = None,
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard axis 0 (batch) over every mesh axis (data and space both act as
     data parallelism for training)."""
-    return NamedSharding(mesh, P((DATA_AXIS, SPACE_AXIS)))
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
