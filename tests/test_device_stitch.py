@@ -86,10 +86,14 @@ def test_predict_volume_device_mode_accepts_mesh(setup):
 def test_predict_volume_rejects_mesh_for_non_device_modes(setup):
     from transfer_em_tpu.infer import predict_volume
     gen, params, vol = setup
-    with pytest.raises(ValueError, match="mode='device'"):
+    with pytest.raises(ValueError, match="mode='device' or 'stream'"):
         predict_volume(vol, gen.apply, params,
                        (0, 0, 0), (36, 36, 36), (0, 1), (0, 1),
                        mode="slab", mesh=object())
+    with pytest.raises(ValueError, match="as_numpy=False"):
+        predict_volume(vol, gen.apply, params,
+                       (0, 0, 0), (36, 36, 36), (0, 1), (0, 1),
+                       mode="tiles", as_numpy=False)
 
 
 def test_slab_predict_matches_whole_shot(setup):

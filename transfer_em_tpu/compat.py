@@ -184,6 +184,8 @@ def load_tf_discriminator(source) -> Tuple[Discriminator, dict]:
     inferred (3D: 9 weight groups starting at down1; 2D: 7 starting at the
     16-wide hack conv — the reference 2D model never materializes down1)."""
     groups = keras_conv_weights(_as_keras_model(source))
+    if not groups:
+        raise ValueError("no conv weight groups found in the Keras model")
     first = groups[0][1][0]
     is3d = first.ndim == 5
     if is3d:

@@ -200,8 +200,14 @@ def create_dataset_from_tensors(
         # Eager vmap on the CPU backend: a jit here would pay a remote
         # compile-service round trip per fresh-cache dataset construction
         # (CLAUDE.md); threefry fold_in is backend-deterministic so the key
-        # values are identical either way.
-        with jax.default_device(jax.devices("cpu")[0]):
+        # values are identical either way.  If jax_platforms is pinned
+        # without a cpu entry (e.g. JAX_PLATFORMS=tpu), fall back to the
+        # default backend rather than raising.
+        try:
+            _cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            _cpu = None
+        with jax.default_device(_cpu):
             element_keys = np.asarray(
                 jax.vmap(lambda i: jax.random.fold_in(_k5, i))(jnp.arange(n)))
     else:

@@ -45,8 +45,13 @@ def predict_volume(vol_zyx, gen_apply, params, start, size,
     """
     if mesh is not None and mode not in ("device", "stream"):
         raise ValueError(
-            f"mesh= is only supported with mode='device' (got {mode!r}); "
-            "for spatially-sharded inference use parallel.halo_predict")
+            f"mesh= is only supported with mode='device' or 'stream' "
+            f"(got {mode!r}); for spatially-sharded inference use "
+            "parallel.halo_predict")
+    if not as_numpy and mode in ("stream", "tiles"):
+        raise ValueError(
+            f"as_numpy=False is not supported with mode={mode!r}: these "
+            "paths stitch on the host and always return a host array")
     if mode == "stream":
         import numpy as _np
         vol = (vol_zyx if isinstance(vol_zyx, _np.memmap)

@@ -136,8 +136,9 @@ def predict_streaming(
 
     Args:
       fetch_box: (corner_xyz, size_xyz) -> zyx uint8 block, zero-filled
-        outside the source (``gather_box`` for host arrays; DVID/tensorstore/
-        CloudRun fetchers for remote sources — see predict_ng_cube(stream=)).
+        outside the source (``gather_box`` for host arrays; for remote
+        sources wrap ``data.sources.fetch_raw_dvid`` or a tensorstore /
+        CloudRun ``/volume`` read the same way).
       gen_apply, params: generator forward — pass a STABLE callable
         (e.g. ``gen.apply``); the compiled chunk program is cached on its
         identity.

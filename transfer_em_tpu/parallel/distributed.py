@@ -29,11 +29,15 @@ def initialize(coordinator_address: Optional[str] = None,
     the environment; pass them explicitly for manual clusters.
     """
     import jax
+    plat = str(jax.config.jax_platforms or "")
     if (num_processes is not None and num_processes > 1
-            and str(jax.config.jax_platforms or "").startswith("cpu")):
+            and (plat == "" or plat.startswith("cpu"))):
         # Multi-process CPU (tests / local validation) needs a cross-process
-        # collectives backend; gloo ships in jaxlib.  TPU pods never take
-        # this branch (ICI/DCN collectives are native there).
+        # collectives backend; gloo ships in jaxlib.  Also applied when
+        # jax_platforms is unset (CPU-only machines default to cpu without
+        # ever setting the config): it only configures the auxiliary CPU
+        # backend, so it is harmless on TPU pods, whose ICI/DCN collectives
+        # are native.
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     if num_processes in (None, 1) and coordinator_address is None:
         try:

@@ -47,6 +47,16 @@ from ..shapes import is_valid_dimsize
 from .mesh import SPACE_AXIS
 
 
+def _vol_spec(batched: bool, data_axis: str | None, y_axis: str | None,
+              ndim_spatial: int) -> P:
+    """The block's PartitionSpec — shared by shard_map's in/out_specs and
+    the dispatch-side device_put so the shardings can never drift apart."""
+    lead = (data_axis,) if batched else ()
+    tail = [y_axis] + [None] * (ndim_spatial - 1) if y_axis is not None \
+        else [None] * ndim_spatial  # second spatial axis .. channel axis
+    return P(*lead, SPACE_AXIS, *tail)
+
+
 def _check_slab(extent: int, n_dev: int, buffer: int, name: str) -> None:
     """Validate one sharded spatial axis's per-device slab geometry."""
     if extent % n_dev != 0:
@@ -136,10 +146,7 @@ def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
             return gen_apply(params, ext)
         return gen_apply(params, ext[None])[0]
 
-    lead = (data_axis,) if batched else ()
-    tail = [y_axis] + [None] * (ndim_spatial - 1) if y_axis is not None \
-        else [None] * ndim_spatial  # second spatial axis .. channel axis
-    vol_spec = P(*lead, SPACE_AXIS, *tail)
+    vol_spec = _vol_spec(batched, data_axis, y_axis, ndim_spatial)
     f = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(), vol_spec),
@@ -174,9 +181,6 @@ def halo_predict(gen_apply: Callable, params, vol: jax.Array, mesh: Mesh,
     f = halo_predict_fn(gen_apply, mesh, buffer, z_extent, n_space,
                         ndim_spatial, batched=batched, data_axis=data_axis,
                         y_axis=y_axis, y_extent=y_extent)
-    lead = (data_axis,) if batched else ()
-    tail = [y_axis] + [None] * (ndim_spatial - 1) if y_axis is not None \
-        else [None] * ndim_spatial
-    spec = P(*lead, SPACE_AXIS, *tail)
+    spec = _vol_spec(batched, data_axis, y_axis, ndim_spatial)
     vol = jax.device_put(vol, NamedSharding(mesh, spec))
     return f(params, vol)
