@@ -185,6 +185,30 @@ def test_halo_predict_3axis_batched():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_halo_predict_3d_spatial_grid():
+    """Full 3-D spatial decomposition: one volume split over a 2x2x2
+    z x y x x device grid — every spatial axis sharded, corner/edge halos
+    via sequential per-axis exchange == generator on the all-axes
+    zero-padded volume."""
+    gen = UNetGenerator(wf=32)
+    buffer = generator_shapes(74).buffer
+    slab = 20
+    Z = Y = X = 2 * slab
+    rng = np.random.default_rng(11)
+    vol = jnp.asarray(rng.normal(size=(Z, Y, X, 1)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 74, 74, 74, 1), jnp.float32))
+    mesh = make_mesh(8, data=1, space=2, space_y=2, space_x=2)
+
+    got = halo_predict(lambda p, b: gen.apply(p, b), params, vol, mesh,
+                       buffer, y_axis="space_y", x_axis="space_x")
+
+    want = gen.apply(params, zero_pad(vol[None], buffer))[0]
+    assert got.shape == want.shape == (Z, Y, X, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_halo_predict_y_axis_validation():
     from transfer_em_tpu.parallel.halo import halo_predict_fn
     gen = UNetGenerator(wf=32)
@@ -199,6 +223,9 @@ def test_halo_predict_y_axis_validation():
     with pytest.raises(ValueError, match="y slab"):  # y slab 16 < buffer 17
         halo_predict_fn(apply_fn, mesh3, 17, 4 * 20, 4,
                         y_axis="space_y", y_extent=2 * 16)
+    with pytest.raises(ValueError, match="x_axis requires y_axis"):
+        halo_predict_fn(apply_fn, mesh3, 17, 4 * 20, 4,
+                        x_axis="space_x", x_extent=40)
 
 
 def test_em2em_to_mesh(tmp_path):

@@ -24,13 +24,14 @@ axis sharded; optionally the batch axis is ALSO sharded over a ``data``
 mesh axis (``data_axis='data'``), giving true 2-D batch x space sharding
 on a ('data', 'space') mesh — the layout for fleets of large requests.
 
-2-D spatial decomposition (``y_axis='space_y'``): the SECOND spatial axis
-is additionally sharded over a second mesh axis (make_mesh(space=, space_y=)),
-so a huge (Z, Y) face splits into a device grid instead of z-stripes —
-the layout when Z alone has too few valid slabs for the device count.
-Corner halos are handled by exchanging axes sequentially: the y exchange
-sends rows of the already-z-extended block, so diagonal-neighbor data
-arrives via the shared edge device in one ppermute round per axis.
+Multi-axis spatial decomposition (``y_axis='space_y'``, ``x_axis=
+'space_x'``): the second and third spatial axes are additionally sharded
+over further mesh axes (make_mesh(space=, space_y=, space_x=)), so a huge
+volume splits into a 2-D or full 3-D device grid instead of z-stripes —
+the layout when z alone has too few valid slabs for the device count.
+Corner/edge halos are handled by exchanging axes sequentially: each later
+exchange sends planes of the already-extended block, so diagonal-neighbor
+data arrives via the shared edge device in one ppermute round per axis.
 """
 
 from __future__ import annotations
@@ -47,14 +48,17 @@ from ..shapes import is_valid_dimsize
 from .mesh import SPACE_AXIS
 
 
-def _vol_spec(batched: bool, data_axis: str | None, y_axis: str | None,
-              ndim_spatial: int) -> P:
+def _vol_spec(batched: bool, data_axis: str | None,
+              space_axes: list[str | None], ndim_spatial: int) -> P:
     """The block's PartitionSpec — shared by shard_map's in/out_specs and
-    the dispatch-side device_put so the shardings can never drift apart."""
+    the dispatch-side device_put so the shardings can never drift apart.
+
+    space_axes: mesh-axis name (or None) per spatial axis, leading first;
+    a trailing None covers the channel axis.
+    """
     lead = (data_axis,) if batched else ()
-    tail = [y_axis] + [None] * (ndim_spatial - 1) if y_axis is not None \
-        else [None] * ndim_spatial  # second spatial axis .. channel axis
-    return P(*lead, SPACE_AXIS, *tail)
+    tail = space_axes + [None] * (ndim_spatial - len(space_axes))
+    return P(*lead, *tail, None)  # final None: channel axis
 
 
 def _check_slab(extent: int, n_dev: int, buffer: int, name: str) -> None:
@@ -74,10 +78,27 @@ def _check_slab(extent: int, n_dev: int, buffer: int, name: str) -> None:
             f"extended {name} slab {slab + 2*buffer} not a valid dimsize")
 
 
+def _check_extra_axis(mesh: Mesh, axis: str, extent: int | None, buffer: int,
+                      pos: int, ndim_spatial: int, name: str) -> int:
+    """Validate an additional sharded spatial axis; returns its device count."""
+    if axis not in mesh.shape:
+        raise ValueError(f"mesh has no '{axis}' axis (got axes "
+                         f"{tuple(mesh.shape)}); use "
+                         f"parallel.make_mesh(n, space=, space_y=, space_x=)")
+    if ndim_spatial < pos + 1:
+        raise ValueError(f"{name}_axis needs >= {pos + 1} spatial dims")
+    if extent is None:
+        raise ValueError(f"{name}_axis requires {name}_extent")
+    n_dev = int(mesh.shape[axis])
+    _check_slab(extent, n_dev, buffer, name)
+    return n_dev
+
+
 def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
                     z_extent: int, n_space: int, ndim_spatial: int = 3,
                     batched: bool = False, data_axis: str | None = None,
-                    y_axis: str | None = None, y_extent: int | None = None):
+                    y_axis: str | None = None, y_extent: int | None = None,
+                    x_axis: str | None = None, x_extent: int | None = None):
     """Build the jitted sharded predictor.
 
     Args:
@@ -90,9 +111,10 @@ def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
       data_axis: with ``batched``, optionally ALSO shard the batch axis over
         this mesh axis (2-D batch x space sharding, e.g. a ('data', 'space')
         mesh); None replicates the batch across the space axis.
-      y_axis: optionally ALSO shard the SECOND spatial axis over this mesh
-        axis (2-D z x y spatial decomposition; make_mesh(space=, space_y=)).
-        Requires ``y_extent``, validated like the z slab.
+      y_axis / x_axis: optionally ALSO shard the SECOND / THIRD spatial axis
+        over these mesh axes (2-D z x y or 3-D z x y x x decomposition;
+        make_mesh(space=, space_y=, space_x=)).  Each requires its
+        ``*_extent``, validated like the z slab.
     Returns:
       f(params, vol) sharded-axes extents preserved; the remaining
       (unsharded) spatial axes shrink by 2*buffer as usual.
@@ -107,18 +129,16 @@ def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
         raise ValueError(f"mesh has no '{data_axis}' axis "
                          f"(got axes {tuple(mesh.shape)})")
     _check_slab(z_extent, n_space, buffer, "z")
-    n_y = 0
+    # Sharded spatial axes, leading first: (mesh axis name, device count).
+    sharded = [(SPACE_AXIS, n_space)]
     if y_axis is not None:
-        if y_axis not in mesh.shape:
-            raise ValueError(f"mesh has no '{y_axis}' axis (got axes "
-                             f"{tuple(mesh.shape)}); use "
-                             f"parallel.make_mesh(n, space=, space_y=)")
-        if ndim_spatial < 2:
-            raise ValueError("y_axis needs >= 2 spatial dims")
-        if y_extent is None:
-            raise ValueError("y_axis requires y_extent")
-        n_y = int(mesh.shape[y_axis])
-        _check_slab(y_extent, n_y, buffer, "y")
+        sharded.append((y_axis, _check_extra_axis(
+            mesh, y_axis, y_extent, buffer, 1, ndim_spatial, "y")))
+    if x_axis is not None:
+        if y_axis is None:
+            raise ValueError("x_axis requires y_axis (shard axes in order)")
+        sharded.append((x_axis, _check_extra_axis(
+            mesh, x_axis, x_extent, buffer, 2, ndim_spatial, "x")))
 
     zax = 1 if batched else 0  # the first sharded spatial axis in the block
 
@@ -137,16 +157,18 @@ def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
 
     def local_fn(params, vol_slab):
         # vol_slab: (slab, Y, X, 1) per device ((B_local, slab, ...) batched).
-        ext = exchange(vol_slab, zax, SPACE_AXIS, n_space)
-        if y_axis is not None:
-            # Exchanging the z-EXTENDED block along y ships the corner halos
-            # too (each y-neighbor already holds its z-halo rows).
-            ext = exchange(ext, zax + 1, y_axis, n_y)
+        # Sequential per-axis exchange: each later exchange ships planes of
+        # the already-extended block, so corner/edge halos arrive via the
+        # shared-edge device — one ppermute round per axis covers diagonals.
+        ext = vol_slab
+        for i, (mesh_axis, n_dev) in enumerate(sharded):
+            ext = exchange(ext, zax + i, mesh_axis, n_dev)
         if batched:
             return gen_apply(params, ext)
         return gen_apply(params, ext[None])[0]
 
-    vol_spec = _vol_spec(batched, data_axis, y_axis, ndim_spatial)
+    names = [a for a, _ in sharded]
+    vol_spec = _vol_spec(batched, data_axis, names, ndim_spatial)
     f = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(), vol_spec),
@@ -159,15 +181,17 @@ def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
 def halo_predict(gen_apply: Callable, params, vol: jax.Array, mesh: Mesh,
                  buffer: int, batched: bool = False,
                  data_axis: str | None = None,
-                 y_axis: str | None = None) -> jax.Array:
+                 y_axis: str | None = None,
+                 x_axis: str | None = None) -> jax.Array:
     """One-shot convenience wrapper: shard vol over 'space' and predict.
 
     vol: (Z, Y, X, 1) volume or (Y, X, 1) image, leading axis sharded —
     or, with ``batched=True``, a batch of them (B, Z, Y, X, 1) where the
     SECOND axis is sharded (and optionally the batch axis too, over
     ``data_axis`` — 2-D batch x space sharding on e.g. a ('data', 'space')
-    mesh).  ``y_axis``: also shard the second spatial axis over that mesh
-    axis (2-D z x y spatial decomposition, make_mesh(space=, space_y=)).
+    mesh).  ``y_axis`` / ``x_axis``: also shard the second / third spatial
+    axis over those mesh axes (2-D z x y or full 3-D z x y x x spatial
+    decomposition, make_mesh(space=, space_y=, space_x=)).
     """
     n_space = mesh.shape.get(SPACE_AXIS)
     if n_space is None:
@@ -178,9 +202,12 @@ def halo_predict(gen_apply: Callable, params, vol: jax.Array, mesh: Mesh,
     off = 1 if batched else 0
     z_extent = vol.shape[off]
     y_extent = vol.shape[off + 1] if y_axis is not None else None
+    x_extent = vol.shape[off + 2] if x_axis is not None else None
     f = halo_predict_fn(gen_apply, mesh, buffer, z_extent, n_space,
                         ndim_spatial, batched=batched, data_axis=data_axis,
-                        y_axis=y_axis, y_extent=y_extent)
-    spec = _vol_spec(batched, data_axis, y_axis, ndim_spatial)
+                        y_axis=y_axis, y_extent=y_extent,
+                        x_axis=x_axis, x_extent=x_extent)
+    names = [SPACE_AXIS] + [a for a in (y_axis, x_axis) if a is not None]
+    spec = _vol_spec(batched, data_axis, names, ndim_spatial)
     vol = jax.device_put(vol, NamedSharding(mesh, spec))
     return f(params, vol)

@@ -21,40 +21,49 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 SPACE_AXIS = "space"
 SPACE_Y_AXIS = "space_y"
+SPACE_X_AXIS = "space_x"
 
 
 def make_mesh(n_devices: Optional[int] = None,
               data: Optional[int] = None,
               space: int = 1,
               space_y: int = 1,
+              space_x: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, space[, space_y]) mesh over the available devices.
+    """Build a (data, space[, space_y[, space_x]]) mesh over the devices.
 
-    Defaults: all devices on the data axis.  The product data*space*space_y
-    must equal the device count.  ``space_y > 1`` adds a second spatial axis
-    for 2-D (z x y) halo decomposition (parallel/halo.py); when it is 1 the
-    mesh stays 2-D ("data", "space") for backward compatibility.
+    Defaults: all devices on the data axis.  The products of all axis sizes
+    must equal the device count.  ``space_y``/``space_x`` > 1 add second and
+    third spatial axes for 2-D (z x y) or 3-D (z x y x x) halo decomposition
+    (parallel/halo.py); size-1 trailing axes are omitted so existing
+    ("data", "space") meshes keep their shape.
     """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
+    prod = space * space_y * space_x
     if data is None:
-        if n % (space * space_y) != 0:
+        if n % prod != 0:
             raise ValueError(
                 f"device count {n} not divisible by space={space} "
-                f"x space_y={space_y}")
-        data = n // (space * space_y)
-    if data * space * space_y != n:
+                f"x space_y={space_y} x space_x={space_x}")
+        data = n // prod
+    if data * prod != n:
         raise ValueError(
-            f"data*space*space_y = {data}*{space}*{space_y} != "
-            f"device count {n}")
-    if space_y > 1:
-        arr = np.asarray(devices).reshape(data, space, space_y)
-        return Mesh(arr, (DATA_AXIS, SPACE_AXIS, SPACE_Y_AXIS))
-    arr = np.asarray(devices).reshape(data, space)
-    return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
+            f"data*space*space_y*space_x = {data}*{space}*{space_y}"
+            f"*{space_x} != device count {n}")
+    sizes = [data, space]
+    names = [DATA_AXIS, SPACE_AXIS]
+    if space_y > 1 or space_x > 1:
+        sizes.append(space_y)
+        names.append(SPACE_Y_AXIS)
+    if space_x > 1:
+        sizes.append(space_x)
+        names.append(SPACE_X_AXIS)
+    arr = np.asarray(devices).reshape(*sizes)
+    return Mesh(arr, tuple(names))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
