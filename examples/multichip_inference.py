@@ -23,15 +23,19 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# This image's sitecustomize pins jax_platforms='axon,cpu', overriding the
-# env var; re-assert it so the simulated-device run line above works.
+# Some environments pin jax_platforms via sitecustomize, overriding the
+# env var; re-assert it so the simulated-device run line above works —
+# and warn rather than silently degrade to whatever backend is active.
 if os.environ.get("JAX_PLATFORMS"):
     import jax
 
+    _want = os.environ["JAX_PLATFORMS"]
     try:
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    except Exception:
-        pass
+        if jax.config.jax_platforms != _want:
+            jax.config.update("jax_platforms", _want)
+    except Exception as e:
+        print(f"WARNING: could not honor JAX_PLATFORMS={_want} ({e}); "
+              f"running on the active backend instead", file=sys.stderr)
 
 import jax
 import jax.numpy as jnp
