@@ -268,6 +268,50 @@ def test_train_step_deterministic(setup):
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
 
+def test_accum_steps_equals_full_batch(setup):
+    """Gradient accumulation (config.accum_steps) is exact full-batch math:
+    with dropout off, the accumulated step's losses and updated parameters
+    match the plain step to float rounding (per-sample-mean losses make the
+    microbatch-averaged gradient equal the full-batch gradient)."""
+    import dataclasses
+    from transfer_em_tpu.train.cgan import build_step_fn
+    cfg, gen, disc_x, disc_y, state, x, y = setup
+    full = jax.jit(build_step_fn(cfg, deterministic=True))
+    acc = jax.jit(build_step_fn(dataclasses.replace(cfg, accum_steps=2),
+                                deterministic=True))
+    s1, l1 = full(state, x, y, jax.random.PRNGKey(0))
+    s2, l2 = acc(state, x, y, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=2e-5, atol=2e-6)
+    # atol 1e-5 vs the ~2e-4 Adam step scale: near-zero gradients pass
+    # through Adam's epsilon with amplified float rounding.
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_accum_steps_with_dropout_trains(setup):
+    """With dropout ON the microbatch keys differ from the full-batch keys
+    (each microbatch folds its index), so exact equality is not expected —
+    but the step must run, update every network, and stay finite; and the
+    batch must divide accum_steps."""
+    cfg, gen, disc_x, disc_y, state, x, y = setup
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, accum_steps=2)
+    step = make_train_step(cfg2, donate=False)
+    new_state, loss = step(state, x, y, jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(np.asarray(loss)))
+    for name in ["gg", "gf", "dx", "dy"]:
+        before = jax.tree.leaves(getattr(state, name))
+        after = jax.tree.leaves(getattr(new_state, name))
+        assert any(not np.allclose(np.asarray(a), np.asarray(b))
+                   for a, b in zip(before, after)), f"{name} did not update"
+    bad = make_train_step(dataclasses.replace(cfg, accum_steps=3),
+                          donate=False)
+    with pytest.raises(ValueError, match="divisible"):
+        bad(state, x, y, jax.random.PRNGKey(0))
+
+
 def test_dropout_active_in_training(setup):
     """Generator applications in training mode use dropout (training=True in
     reference train_step, cgan.py:152).  At init the dropout-bearing up-path

@@ -31,6 +31,12 @@ class CycleGANConfig:
     ensemble_apps: bool = False     # stack G/F (and Dx/Dy) param trees and
     # run each train-step round as one vmapped apply (grouped convs, half
     # the program count) — see cyclegan_losses(ensemble_apps=...)
+    accum_steps: int = 1            # gradient accumulation: split each batch
+    # into this many microbatches, lax.scan the backward over them, and apply
+    # ONE optimizer update from the averaged gradients.  Peak activation
+    # memory scales with the microbatch, so effective batches beyond HBM
+    # become reachable; with the per-sample-mean losses the averaged gradient
+    # equals the full-batch gradient exactly (tests/test_train.py)
     # dataset knobs (reference datasets.py:10-12)
     batch_size: int = 64
     epoch_size: int = 4096

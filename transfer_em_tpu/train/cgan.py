@@ -300,7 +300,13 @@ def build_step_fn(config: CycleGANConfig,
     """The pure (un-jitted) train step: (state, real_x, real_y, rng) ->
     (state, loss7).  make_train_step jits it plain; parallel.dp jits it with
     mesh shardings.  ``deterministic`` disables dropout (testing only, e.g.
-    the TF train-step golden where the reference's dropout is patched out)."""
+    the TF train-step golden where the reference's dropout is patched out).
+
+    ``config.accum_steps > 1`` enables gradient accumulation: the batch is
+    split into that many microbatches, the backward pass is scanned over
+    them, and one optimizer update applies the averaged gradients — exact
+    full-batch math (per-sample-mean losses) at microbatch-sized peak
+    activation memory."""
     gen, disc_x, disc_y = build_models(config, disc_prior)
     buffer = generator_shapes(config.dimsize).buffer
     gamma = config.focal_gamma
@@ -312,12 +318,48 @@ def build_step_fn(config: CycleGANConfig,
                                 deterministic=deterministic,
                                 remat=config.remat)
 
+    accum = int(config.accum_steps)
+    if accum < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum}")
+
     def step(state: CycleGANState, real_x, real_y, rng):
         rng = jax.random.fold_in(rng, state.step)
-        grads, loss_vec = jax.grad(
-            lambda gg, gf, dx, dy: loss_fn(gg, gf, dx, dy, real_x, real_y, rng),
-            argnums=(0, 1, 2, 3), has_aux=True,
-        )(state.gg, state.gf, state.dx, state.dy)
+        grad_fn = jax.grad(
+            lambda gg, gf, dx, dy, x, y, k: loss_fn(gg, gf, dx, dy, x, y, k),
+            argnums=(0, 1, 2, 3), has_aux=True)
+        if accum == 1:
+            grads, loss_vec = grad_fn(state.gg, state.gf, state.dx, state.dy,
+                                      real_x, real_y, rng)
+        else:
+            # Gradient accumulation: scan the backward over `accum`
+            # microbatches, average gradients, apply ONE update.  All losses
+            # are per-sample means (ops/losses.py SUM_OVER_BATCH_SIZE), so
+            # the averaged gradient equals the full-batch gradient exactly;
+            # only peak activation memory shrinks (microbatch-sized).
+            B = real_x.shape[0]
+            if B % accum:
+                raise ValueError(
+                    f"batch {B} not divisible by accum_steps {accum}")
+            micro = B // accum
+            xm = real_x.reshape((accum, micro) + real_x.shape[1:])
+            ym = real_y.reshape((accum, micro) + real_y.shape[1:])
+
+            def body(acc, inp):
+                x, y, i = inp
+                g, lv = grad_fn(state.gg, state.gf, state.dx, state.dy,
+                                x, y, jax.random.fold_in(rng, i))
+                acc_g, acc_l = acc
+                return (jax.tree.map(jnp.add, acc_g, g),
+                        acc_l + lv.astype(jnp.float32)), None
+
+            zero_g = jax.tree.map(
+                jnp.zeros_like,
+                (state.gg, state.gf, state.dx, state.dy))
+            (gsum, lsum), _ = jax.lax.scan(
+                body, (zero_g, jnp.zeros((7,), jnp.float32)),
+                (xm, ym, jnp.arange(accum)))
+            grads = jax.tree.map(lambda a: a / accum, gsum)
+            loss_vec = lsum / accum
 
         params = (state.gg, state.gf, state.dx, state.dy)
         opts = (state.opt_gg, state.opt_gf, state.opt_dx, state.opt_dy)
@@ -363,12 +405,12 @@ class EM2EM:
                  compute_dtype: str = "float32",
                  checkpoint_root: str = "./checkpoints",
                  seed: int = 0, remat: bool = False,
-                 ensemble_apps: bool = False):
+                 ensemble_apps: bool = False, accum_steps: int = 1):
         del norm_type  # DEPRECATED upstream (cgan.py:47); norms stay disabled
         self.config = CycleGANConfig(
             dimsize=dimsize, is3d=is3d, wf=wf, focal_gamma=focal_gamma,
             compute_dtype=compute_dtype, remat=remat,
-            ensemble_apps=ensemble_apps)
+            ensemble_apps=ensemble_apps, accum_steps=accum_steps)
         self.exp_name = exp_name
         shapes = generator_shapes(dimsize)
         assert shapes.out % 2 == 0  # cgan.py:64
