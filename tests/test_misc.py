@@ -139,6 +139,17 @@ def test_save_model_cli_parsing(monkeypatch):
                          size=74, is3d=True, wf=16)
     assert cli.main([]) == 1  # usage
 
+    # --tf[=DIR] additionally exports a TF SavedModel (compat module).
+    tf_calls = []
+    import transfer_em_tpu.compat as compat
+    monkeypatch.setattr(compat, "export_tf_savedmodel",
+                        lambda src, dst: tf_calls.append((src, dst)))
+    cli.main(["m", "ck", "0.1", "0.2", "0.3", "0.4", "74", "1", "16", "--tf"])
+    cli.main(["m", "ck", "0.1", "0.2", "0.3", "0.4", "74", "0",
+              "--tf=out_tf"])
+    assert tf_calls == [("m", "m_tf"), ("m", "out_tf")]
+    assert calls["is3d"] is False  # flag removed before positional parse
+
 
 def test_bench_baseline_cache_read(tmp_path, monkeypatch):
     """bench.measure_tf_reference returns the committed cached baseline

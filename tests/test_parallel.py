@@ -60,6 +60,34 @@ def test_dp_step_runs_on_mesh_2x4():
     assert np.all(np.isfinite(np.asarray(loss)))
 
 
+def test_dp_accum_matches_single_device_accum():
+    """Gradient accumulation composes with DP: the batch-sharded accum step
+    (reshape to microbatches crosses the sharded axis, XLA reshards) must
+    equal the single-device accum step — same dropout keys (fold_in by
+    state.step then microbatch index is mesh-independent)."""
+    import dataclasses
+    cfg = dataclasses.replace(tiny_config(), accum_steps=2)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(8, 74, 74, 1)).astype(np.float32)
+    y = rng.normal(size=(8, 74, 74, 1)).astype(np.float32)
+    key = jax.random.PRNGKey(1)
+
+    single = make_train_step(cfg, donate=False)
+    s1, l1 = single(state, jnp.asarray(x), jnp.asarray(y), key)
+
+    mesh = make_mesh(8)
+    dp = make_dp_train_step(cfg, mesh, donate=False)
+    s2, l2 = dp(shard_state(state, mesh), shard_batch(jnp.asarray(x), mesh),
+                shard_batch(jnp.asarray(y), mesh), key)
+
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.gg), jax.tree.leaves(s2.gg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
+
+
 def test_halo_predict_matches_unsharded():
     """Sharded halo-exchange inference == unsharded generator on the
     z-padded volume, bit-exact phase alignment (parallel/halo.py)."""

@@ -346,6 +346,49 @@ def test_create_prior_helper_accepts_h5(tmp_path):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_export_tf_savedmodel_roundtrip(tmp_path):
+    """compat.export_tf_savedmodel — the REVERSE migration: a TPU-trained
+    generator becomes a TF SavedModel with a restored ``predict`` function,
+    a ``serving_default`` signature, and the reference's meta.json next to
+    it (reference utils.py:29-36 load contract), numerically matching our
+    generator within 1e-3 and batch-polymorphic."""
+    import tensorflow as tf
+    import jax
+    import jax.numpy as jnp
+    from transfer_em_tpu import compat
+    from transfer_em_tpu.config import ExportMeta
+    from transfer_em_tpu.infer.export import export_generator
+    from transfer_em_tpu.models import UNetGenerator
+
+    gen = UNetGenerator(wf=64)
+    params = gen.init(jax.random.PRNGKey(7),
+                      jnp.zeros((1, 74, 74, 1), jnp.float32))
+    meta = ExportMeta(buffer=17, outdimsize=40, meanstd_x=(0.1, 0.9),
+                      meanstd_y=(0.2, 0.8), dimsize=74, is3d=False, wf=64)
+    src = str(tmp_path / "ours")
+    dst = str(tmp_path / "tf")
+    export_generator(params, meta, src)
+    compat.export_tf_savedmodel(src, dst)
+
+    rng = np.random.default_rng(8)
+    x = rng.uniform(-1, 1, size=(2, 74, 74, 1)).astype(np.float32)
+    want = np.asarray(gen.apply(params, jnp.asarray(x)))
+
+    loaded = tf.saved_model.load(dst)
+    got = loaded.predict(tf.constant(x)).numpy()   # reference-loop style call
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+    assert got.shape == (2, 40, 40, 1)             # batch dim is polymorphic
+
+    sig = loaded.signatures["serving_default"]     # TF-Serving / TFSMLayer
+    got_sig = list(sig(tf.constant(x[:1])).values())[0].numpy()
+    np.testing.assert_allclose(got_sig, want[:1], atol=1e-3, rtol=1e-3)
+
+    import json
+    m = json.load(open(f"{dst}/meta.json"))
+    assert m["buffer"] == 17 and m["outdimsize"] == 40
+    assert tuple(m["meanstd_x"]) == (0.1, 0.9)
+
+
 @pytest.mark.parametrize("is3d", [False, True])
 def test_instance_norm_matches_reference_layer(is3d):
     """Our InstanceNorm == the reference InstanceNormalization layer

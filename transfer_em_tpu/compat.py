@@ -10,6 +10,7 @@ those into our Flax modules + params:
     gen,  params = compat.load_tf_generator("gen_dir_or.h5")
     disc, params = compat.load_tf_discriminator("disc.h5")
     prior        = compat.prior_from_tf_generator("prior.h5", "down2")
+    compat.export_tf_savedmodel("our_export_dir", "tf_savedmodel_dir")  # reverse
 
 Weight mapping (proven against the LIVE reference models in
 tests/test_tf_parity.py, the frozen goldens in tests/test_goldens.py, and
@@ -34,6 +35,7 @@ imports TF).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, List, Sequence, Tuple
 
 import jax
@@ -199,6 +201,57 @@ def load_tf_discriminator(source) -> Tuple[Discriminator, dict]:
     disc = Discriminator(is3d=is3d, wf=wf)
     params = _concretize(_template_params(disc, is3d, 40))
     return disc, assign_weights(params, slots, groups)
+
+
+def export_tf_savedmodel(model_dir: str, out_dir: str) -> None:
+    """Export one of OUR saved generators as a TF SavedModel — the reverse
+    of ``load_tf_generator``, so a reference user's TF serving stack can run
+    a TPU-trained model.
+
+    ``model_dir`` is an ``infer.export.save_model`` output (generator.msgpack
+    + meta.json); ``out_dir`` receives a TF SavedModel with
+
+    * a ``serving_default`` signature (float32 ``(batch, *spatial, 1)`` ->
+      float32), usable from TF-Serving and Keras 3's ``TFSMLayer``;
+    * a restored ``predict`` tf.function, so ``tf.saved_model.load(out_dir)``
+      yields an object the reference's tiled-inference loop can call in place
+      of ``model.predict`` (reference utils.py:107-108);
+    * the same ``meta.json`` the reference's loaders read next to the model
+      (reference utils.py:29-36 — buffer / outdimsize / meanstd_x /
+      meanstd_y keys).
+
+    The generator weights are frozen into the graph via ``jax2tf`` (StableHLO
+    native serialization; batch dimension polymorphic).  Note for Keras-2-era
+    stacks (TF <= 2.15, what the reference shipped against):
+    ``tf.keras.models.load_model`` there only revives Keras-authored
+    SavedModels — load with ``tf.saved_model.load`` instead; the numerics are
+    verified against our generator in tests/test_tf_parity.py.
+    """
+    import shutil
+
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    from .infer.export import META_FILE, load_generator
+
+    gen, params, meta = load_generator(model_dir)
+    rank = 3 if meta.is3d else 2
+    spatial = (meta.dimsize,) * rank
+    poly = "(b, " + ", ".join(str(d) for d in spatial) + ", 1)"
+    converted = jax2tf.convert(lambda x: gen.apply(params, x),
+                               polymorphic_shapes=[poly],
+                               with_gradient=False)
+    call = tf.function(
+        converted,
+        input_signature=[tf.TensorSpec((None,) + spatial + (1,), tf.float32,
+                                       name="input")],
+        autograph=False)
+    module = tf.Module()
+    module.predict = call
+    tf.saved_model.save(module, out_dir,
+                        signatures={"serving_default": call})
+    shutil.copyfile(os.path.join(model_dir, META_FILE),
+                    os.path.join(out_dir, META_FILE))
 
 
 def prior_from_tf_generator(source, last_layer: str) -> Callable:
