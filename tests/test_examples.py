@@ -111,3 +111,22 @@ def test_multichip_inference(tmp_path, monkeypatch):
         sys.path.remove("/root/repo/examples")
     losses = ex.main(wf=32, steps=1, exp_name="multichip_smoke")
     assert np.all(np.isfinite(losses))  # equivalence asserts run inside
+
+
+def test_migrate_tf_assets(tmp_path, monkeypatch):
+    """Recipe 7: both migration directions (reference .h5 -> Flax, ours ->
+    TF SavedModel) preserve the voxels."""
+    from tests.conftest import REFERENCE, has_reference, has_tf
+    if not has_tf():
+        pytest.skip("tensorflow unavailable")
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        import migrate_tf_assets as ex
+    finally:
+        sys.path.remove("/root/repo/examples")
+    ref = REFERENCE if has_reference() else None
+    d1, d2 = ex.main(ref, workdir=str(tmp_path))
+    assert d2 < 1e-3
+    if ref is not None:
+        assert d1 is not None and d1 < 1e-3

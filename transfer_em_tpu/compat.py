@@ -203,7 +203,9 @@ def load_tf_discriminator(source) -> Tuple[Discriminator, dict]:
     return disc, assign_weights(params, slots, groups)
 
 
-def export_tf_savedmodel(model_dir: str, out_dir: str) -> None:
+def export_tf_savedmodel(model_dir: str, out_dir: str,
+                         platforms: Sequence[str] = ("cpu", "tpu",
+                                                     "cuda")) -> None:
     """Export one of OUR saved generators as a TF SavedModel — the reverse
     of ``load_tf_generator``, so a reference user's TF serving stack can run
     a TPU-trained model.
@@ -221,7 +223,11 @@ def export_tf_savedmodel(model_dir: str, out_dir: str) -> None:
       meanstd_y keys).
 
     The generator weights are frozen into the graph via ``jax2tf`` (StableHLO
-    native serialization; batch dimension polymorphic).  Note for Keras-2-era
+    native serialization; batch dimension polymorphic).  ``platforms`` picks
+    the StableHLO lowering targets — the default makes ONE portable artifact
+    for CPU serving (the reference's Cloud Run stack is CPU), GPU, and TPU;
+    without it jax2tf lowers only for the exporting process's platform and
+    the SavedModel refuses to run anywhere else.  Note for Keras-2-era
     stacks (TF <= 2.15, what the reference shipped against):
     ``tf.keras.models.load_model`` there only revives Keras-authored
     SavedModels — load with ``tf.saved_model.load`` instead; the numerics are
@@ -240,6 +246,7 @@ def export_tf_savedmodel(model_dir: str, out_dir: str) -> None:
     poly = "(b, " + ", ".join(str(d) for d in spatial) + ", 1)"
     converted = jax2tf.convert(lambda x: gen.apply(params, x),
                                polymorphic_shapes=[poly],
+                               native_serialization_platforms=tuple(platforms),
                                with_gradient=False)
     call = tf.function(
         converted,
