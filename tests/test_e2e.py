@@ -138,3 +138,29 @@ def test_loss_decreases_on_warp_fixture(tmp_path):
     first, last = h[:20, 6].mean(), h[-20:, 6].mean()
     # measured trajectory: ~5.1 -> ~0.19 (see PERF-era probe); require 2x
     assert last < first * 0.5, (first, last)
+
+
+def test_train_scan_window_matches_sequential(tmp_path):
+    """EM2EM.train(scan_window=2) — one dispatch per 2 steps, tail through
+    the per-step path — lands on the same parameters as the plain loop
+    (same seed, same batches, same per-step fold_in keys)."""
+    rng = np.random.default_rng(5)
+    patches = make_patches(rng, n=6)
+    target_ds, _ = create_dataset_from_tensors(
+        patches, batch_size=2, enable_augmentation=False, seed=1)
+    source_ds, _ = create_dataset_from_tensors(
+        patches, batch_size=2, custom_map=warp, enable_augmentation=False,
+        seed=2)
+
+    def run(name, **kw):
+        m = EM2EM(74, name, is3d=False, wf=32,
+                  checkpoint_root=str(tmp_path / name), seed=9)
+        m.train(source_ds, target_ds, epochs=1, check_freq=10, **kw)
+        return m
+
+    plain = run("scanwin_plain")
+    scanned = run("scanwin_scan", scan_window=2)  # 3 batches -> window + tail
+    assert int(plain.state.step) == int(scanned.state.step) == 3
+    for a, b in zip(jax.tree.leaves(plain.state), jax.tree.leaves(scanned.state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -336,3 +336,69 @@ def test_create_state_rejects_small_dims():
     with pytest.raises(ValueError):
         create_state(CycleGANConfig(dimsize=64, is3d=False),
                      jax.random.PRNGKey(0))
+
+
+def test_scan_window_equals_sequential(setup):
+    """make_scan_train_step(window=K) runs K optimization steps in ONE
+    dispatch and matches K sequential make_train_step calls: the scanned
+    body folds the same per-step key (rng, state.step), so dropout and the
+    updates line up step for step."""
+    from transfer_em_tpu.train import make_scan_train_step
+    cfg, gen, disc_x, disc_y, state, x, y = setup
+    rng = np.random.default_rng(7)
+    K = 3
+    xs = jnp.asarray(rng.normal(size=(K, 2, 74, 74, 1)).astype(np.float32))
+    ys = jnp.asarray(rng.normal(size=(K, 2, 74, 74, 1)).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+
+    step = make_train_step(cfg, donate=False)
+    st = state
+    seq_losses = []
+    for i in range(K):
+        st, lv = step(st, xs[i], ys[i], key)
+        seq_losses.append(np.asarray(lv))
+
+    scan = make_scan_train_step(cfg, K, donate=False)
+    st2, losses = scan(state, xs, ys, key)
+    assert losses.shape == (K, 7)
+    np.testing.assert_allclose(np.asarray(losses), np.stack(seq_losses),
+                               rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_scan_window_mesh_equals_single_device(setup):
+    """The meshed scan step (params replicated, per-step batch axis sharded
+    over 'data') agrees with the unmeshed scan."""
+    from transfer_em_tpu.parallel import make_mesh
+    from transfer_em_tpu.train import make_scan_train_step
+    cfg, gen, disc_x, disc_y, state, x, y = setup
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = make_mesh()
+    rng = np.random.default_rng(8)
+    K = 2
+    B = len(jax.devices())
+    xs = jnp.asarray(rng.normal(size=(K, B, 74, 74, 1)).astype(np.float32))
+    ys = jnp.asarray(rng.normal(size=(K, B, 74, 74, 1)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    plain = make_scan_train_step(cfg, K, donate=False)
+    meshed = make_scan_train_step(cfg, K, donate=False, mesh=mesh)
+    s1, l1 = plain(state, xs, ys, key)
+    s2, l2 = meshed(state, xs, ys, key)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=2e-4, atol=1e-5)
+    # atol covers Adam-step-scale noise (lr=2e-4): sharded psum reorders
+    # reductions, and a rounding-scale gradient flips sign through Adam's
+    # epsilon; 2 compounded steps (cf. test_parallel.py one-step bounds).
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4)
+
+
+def test_scan_window_rejects_bad_window(setup):
+    from transfer_em_tpu.train import make_scan_train_step
+    cfg = setup[0]
+    with pytest.raises(ValueError, match="window"):
+        make_scan_train_step(cfg, 0)

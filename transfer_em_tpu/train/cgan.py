@@ -391,6 +391,54 @@ def make_train_step(config: CycleGANConfig,
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
+def make_scan_train_step(config: CycleGANConfig, window: int,
+                         disc_prior: Optional[Callable] = None,
+                         donate: bool = True, mesh=None):
+    """One device dispatch per ``window`` consecutive optimization steps.
+
+    Scans the train step over a stacked batch window entirely on device:
+    ``(state, xs, ys, rng) -> (state, losses)`` with ``xs``/``ys`` of shape
+    ``(window, B, *spatial, 1)`` and ``losses`` of shape ``(window, 7)``.
+    Numerically identical to ``window`` sequential ``make_train_step`` calls:
+    each step's PRNG key is ``fold_in(rng, state.step)`` and the scan
+    advances ``state.step`` exactly as the sequential path does.
+
+    Why: each dispatch through a remotely-attached TPU costs ~tens of ms of
+    host/tunnel latency (CLAUDE.md); a scanned window pays it once per
+    ``window`` steps.  Composes with ``config.accum_steps`` (which scans
+    microbatches *inside* each optimization step) — window scans *across*
+    updates, accumulation scans *within* one.
+
+    With ``mesh``, params stay replicated and the stacked batches are
+    sharded over their per-step batch axis (axis 1) — the DP execution of
+    parallel/dp.py, one dispatch per window.  The reference has no analogue
+    (its loop is one ``tf.function`` call per step, cgan.py:260-266).
+    """
+    window = int(window)
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    step = build_step_fn(config, disc_prior)
+
+    def scan_fn(state: CycleGANState, xs, ys, rng):
+        def body(st, xy):
+            st2, lv = step(st, xy[0], xy[1], rng)
+            return st2, lv
+        return jax.lax.scan(body, state, (xs, ys))
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(scan_fn, donate_argnums=donate_argnums)
+    from ..parallel.mesh import batch_sharding, replicated
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = replicated(mesh)
+    # (window, B, ...): per-step batch axis 1 sharded like dp.batch_sharding.
+    stacked = NamedSharding(mesh, P(None, *batch_sharding(mesh).spec))
+    return jax.jit(scan_fn,
+                   in_shardings=(repl, stacked, stacked, repl),
+                   out_shardings=(repl, repl),
+                   donate_argnums=donate_argnums)
+
+
 class EM2EM:
     """CycleGAN model for 1-channel 2D/3D data: train and predict.
 
@@ -525,12 +573,21 @@ class EM2EM:
                                             self._rng)
         return loss
 
+    def _scan_window(self, scan_step, window) -> jax.Array:
+        """Stack a window of (x, y) batch pairs and run them in ONE scanned
+        dispatch; returns the summed 7-loss vector (on device)."""
+        xs = jnp.stack([jnp.asarray(x) for x, _ in window])
+        ys = jnp.stack([jnp.asarray(y) for _, y in window])
+        self.state, losses = scan_step(self.state, xs, ys, self._rng)
+        return losses.sum(axis=0)
+
     def train(self, train_input: Iterable, train_target: Iterable,
               epochs: int = 3000, start: int = 0, debug: bool = False,
               sample=None, sample_gt=None, enable_eager: bool = False,
               num_samples: int = 4096, check_freq: int = 1,
               metrics_log: Optional[str] = None,
-              profile_dir: Optional[str] = None):
+              profile_dir: Optional[str] = None,
+              scan_window: int = 1):
         """Main training loop (reference cgan.py:242-287).
 
         train_input / train_target: iterables of batches re-iterable per epoch
@@ -538,9 +595,17 @@ class EM2EM:
         ``enable_eager`` maps to jax.disable_jit for debugging.
         ``metrics_log``: JSONL path for per-epoch losses/timing.
         ``profile_dir``: capture a jax.profiler trace of the run.
+        ``scan_window``: dispatch this many optimization steps per device
+        call (make_scan_train_step) — same math, less per-step host latency;
+        epoch tails shorter than the window run through the per-step path.
         """
         from .metrics import MetricsLogger, profile_trace
 
+        scan_window = int(scan_window)
+        scan_step = None
+        if scan_window > 1 and not enable_eager:
+            scan_step = make_scan_train_step(self.config, scan_window,
+                                             self.disc_prior, mesh=self.mesh)
         logger = MetricsLogger(metrics_log)
         maybe_eager = jax.disable_jit if enable_eager else _nullcontext
         with maybe_eager(), profile_trace(profile_dir):
@@ -559,12 +624,26 @@ class EM2EM:
                 # fetching per step would synchronize the dispatch pipeline
                 # (~28 ms/step on remotely-attached TPUs, CLAUDE.md).
                 loss_acc = None
+                window = []
                 for data_f, data_g in zip(train_input, train_target):
+                    if scan_step is None:
+                        l = self.train_step(data_f, data_g)
+                        loss_acc = l if loss_acc is None else loss_acc + l
+                        count += 1
+                    else:
+                        window.append((data_f, data_g))
+                        if len(window) == scan_window:
+                            l = self._scan_window(scan_step, window)
+                            loss_acc = (l if loss_acc is None
+                                        else loss_acc + l)
+                            count += scan_window
+                            window = []
+                    if pbar is not None:
+                        pbar.update(1)
+                for data_f, data_g in window:  # tail shorter than the window
                     l = self.train_step(data_f, data_g)
                     loss_acc = l if loss_acc is None else loss_acc + l
                     count += 1
-                    if pbar is not None:
-                        pbar.update(1)
                 if pbar is not None:
                     pbar.close()
                 if count:
