@@ -37,7 +37,7 @@ STEPS = 20
 WARMUP = 3
 
 
-def measure_jax(batch: int) -> float:
+def measure_jax(batch: int, accum: int = 1) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -46,7 +46,7 @@ def measure_jax(batch: int) -> float:
     from transfer_em_tpu.train import create_state, make_train_step
 
     cfg = CycleGANConfig(dimsize=DIMSIZE, is3d=True, wf=8,
-                         compute_dtype="bfloat16")
+                         compute_dtype="bfloat16", accum_steps=accum)
     state = create_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg, donate=True)
     rng = np.random.default_rng(0)
@@ -136,9 +136,15 @@ def main():
 
     tiles_per_sec = None
     last_err = None
-    for batch in (128, 64, 32, 16, 8, 4, 2, 1):
+    # Candidates in measured-throughput order (PERF.md "Gradient
+    # accumulation"): B=256 as 2 scanned microbatches of 128 beats plain
+    # B=128 (254.4 vs 247.6 tiles/s — the one Adam update and dispatch
+    # amortize over 2x tiles, exact full-batch math; convergence of the
+    # accum path validated on hardware by `validate_tpu.py --accum`).
+    for batch, accum in ((256, 2), (128, 1), (64, 1), (32, 1), (16, 1),
+                         (8, 1), (4, 1), (2, 1), (1, 1)):
         try:
-            tiles_per_sec = measure_jax(batch)
+            tiles_per_sec = measure_jax(batch, accum)
             break
         except Exception as e:
             last_err = e
@@ -152,8 +158,8 @@ def main():
                    # service wedge still raises once all batches fail.
                    or "remote_compile" in msg)
             if oom:
-                print(f"# batch {batch} failed ({msg[:80]}), retrying smaller",
-                      file=sys.stderr)
+                print(f"# batch {batch} (accum {accum}) failed "
+                      f"({msg[:80]}), retrying smaller", file=sys.stderr)
                 continue
             raise
     if tiles_per_sec is None:

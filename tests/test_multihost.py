@@ -9,7 +9,10 @@ collectives) into one 4-device global mesh.  Asserts:
 * one DP train step agrees with the single-process step on the same global
   batch (losses AND updated params);
 * ``sources.host_sharded_seed`` ROI streams are disjoint between hosts but
-  reproducible (harness re-derives both streams from the seed formula).
+  reproducible (harness re-derives both streams from the seed formula);
+* an orbax checkpoint of the meshed state saves from BOTH processes and
+  restores bit-equal with the live shardings (multi-process save is where
+  orbax + sharded arrays differ from the single-process path).
 
 This is the first executed coverage of parallel/distributed.py:23-55 — the
 multi-host path SURVEY §2.3 names as a first-class obligation.
@@ -81,6 +84,29 @@ seed = host_sharded_seed(42)
 corners = [c for c, _ in zip(
     corner_stream(((0, 0, 0), (100, 100, 100)), 74, seed), range(5))]
 
+# Multi-process orbax checkpoint round-trip: BOTH processes participate in
+# the save (orbax coordinates via the jax.distributed client), then restore
+# with the live shardings and compare the locally-addressable data.
+import orbax.checkpoint as ocp
+mgr = ocp.CheckpointManager(os.path.join(outdir, "mh_ckpt"))
+mgr.save(1, args=ocp.args.StandardSave(new_state))
+mgr.wait_until_finished()
+barrier("mh_ckpt_saved")
+abstract = jax.tree.map(
+    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding),
+    new_state)
+restored = mgr.restore(1, args=ocp.args.StandardRestore(abstract))
+ok = True
+for a, b in zip(jax.tree.leaves(new_state), jax.tree.leaves(restored)):
+    if a.shape != b.shape or a.sharding != b.sharding:
+        ok = False
+        break
+    if not np.array_equal(np.asarray(a.addressable_shards[0].data),
+                          np.asarray(b.addressable_shards[0].data)):
+        ok = False
+        break
+mgr.close()
+
 result = {{
     "pid": pid,
     "loss": np.asarray(loss).tolist(),
@@ -88,6 +114,7 @@ result = {{
         new_state.gg["params"]["stem"]["kernel"])).sum()),
     "seed": seed,
     "corners": corners,
+    "ckpt_roundtrip_ok": ok,
 }}
 with open(os.path.join(outdir, "result_%d.json" % pid), "w") as f:
     json.dump(result, f)
@@ -125,6 +152,9 @@ def test_two_process_dp_matches_single(tmp_path):
     for pid in (0, 1):
         with open(tmp_path / f"result_{pid}.json") as f:
             results[pid] = json.load(f)
+
+    # Multi-process checkpoint round-trip succeeded on both hosts.
+    assert results[0]["ckpt_roundtrip_ok"] and results[1]["ckpt_roundtrip_ok"]
 
     # Both hosts computed the SAME global step (losses + params agree).
     np.testing.assert_allclose(results[0]["loss"], results[1]["loss"],

@@ -403,9 +403,13 @@ def make_scan_train_step(config: CycleGANConfig, window: int,
     each step's PRNG key is ``fold_in(rng, state.step)`` and the scan
     advances ``state.step`` exactly as the sequential path does.
 
-    Why: each dispatch through a remotely-attached TPU costs ~tens of ms of
-    host/tunnel latency (CLAUDE.md); a scanned window pays it once per
-    ``window`` steps.  Composes with ``config.accum_steps`` (which scans
+    Why: one dispatch per ``window`` steps removes per-dispatch host
+    latency where async dispatch cannot hide it (e.g. contended
+    multi-process hosts).  Measured on THIS rig it is a ~9 ms/step LOSS —
+    JAX's async queue already overlaps adjacent dispatches, and the
+    loop-carried training state defeats the standalone step's buffer
+    donation (PERF.md "Scan-window training") — so no production path
+    defaults to it.  Composes with ``config.accum_steps`` (which scans
     microbatches *inside* each optimization step) — window scans *across*
     updates, accumulation scans *within* one.
 

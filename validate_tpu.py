@@ -48,7 +48,7 @@ def blobby(rng, n, size, ndim, k=8):
     return out
 
 
-def check_2d_convergence(max_steps=600):
+def check_2d_convergence(max_steps=600, accum_steps=1):
     """2D warp-fixture run in bf16 (the CPU test's exact recipe): the cycle
     loss must HALVE within ``max_steps``.
 
@@ -56,6 +56,10 @@ def check_2d_convergence(max_steps=600):
     the f32 CPU run; bf16 trajectories differ run-to-run-of-history — one
     bf16 sample halved by step 200, a later build took longer), so the bar
     is halve-anywhere-within-600 rather than exactly-at-200.
+
+    ``accum_steps=2`` (--accum) validates the gradient-accumulation path
+    learns on hardware — the config bench.py measures (accum=2, the
+    measured-fastest training configuration; PERF.md).
     """
     import tempfile
 
@@ -70,9 +74,9 @@ def check_2d_convergence(max_steps=600):
     source_ds, _ = create_dataset_from_tensors(
         patches, batch_size=4, custom_map=warp, enable_augmentation=False,
         seed=2)
-    model = EM2EM(74, "validate2d", is3d=False, wf=32,
+    model = EM2EM(74, f"validate2d_a{accum_steps}", is3d=False, wf=32,
                   checkpoint_root=tempfile.mkdtemp(), seed=3,
-                  compute_dtype="bfloat16")
+                  compute_dtype="bfloat16", accum_steps=accum_steps)
     hist = []
     t0 = time.time()
     first = None
@@ -138,7 +142,7 @@ def check_3d_soak(steps=1000):
 
 
 if __name__ == "__main__":
-    check_2d_convergence()
+    check_2d_convergence(accum_steps=2 if "--accum" in sys.argv else 1)
     if "--soak" in sys.argv:
         check_3d_soak()
     print("validate_tpu: ALL OK")
