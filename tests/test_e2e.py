@@ -164,3 +164,20 @@ def test_train_scan_window_matches_sequential(tmp_path):
     for a, b in zip(jax.tree.leaves(plain.state), jax.tree.leaves(scanned.state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_train_scan_window_ragged_batches(tmp_path):
+    """A user iterable WITHOUT drop_remainder can yield a smaller final
+    batch; the scan path must flush the partial window through the per-step
+    path instead of crashing on jnp.stack."""
+    rng = np.random.default_rng(11)
+    # (2,1,2): the mid-stream shape change exercises the flush branch, the
+    # trailing batch exercises the epoch tail.
+    xs = [rng.normal(size=(b, 74, 74, 1)).astype(np.float32)
+          for b in (2, 1, 2)]
+    ys = [rng.normal(size=(b, 74, 74, 1)).astype(np.float32)
+          for b in (2, 1, 2)]
+    m = EM2EM(74, "scanwin_ragged", is3d=False, wf=32,
+              checkpoint_root=str(tmp_path / "ck"), seed=4)
+    m.train(xs, ys, epochs=1, check_freq=10, scan_window=2)
+    assert int(m.state.step) == 3  # all three batches trained

@@ -150,6 +150,12 @@ def test_save_model_cli_parsing(monkeypatch):
     assert tf_calls == [("m", "m_tf"), ("m", "out_tf")]
     assert calls["is3d"] is False  # flag removed before positional parse
 
+    # Unknown --options are rejected, not silently consumed ('--tft' typo
+    # must not be treated as --tf).
+    assert cli.main(["m", "ck", "0.1", "0.2", "0.3", "0.4", "74", "1", "16",
+                     "--tft"]) == 1
+    assert tf_calls == [("m", "m_tf"), ("m", "out_tf")]  # no new export
+
 
 def test_bench_baseline_cache_read(tmp_path, monkeypatch):
     """bench.measure_tf_reference returns the committed cached baseline

@@ -15,9 +15,13 @@ from ..infer.export import save_model
 def main(argv=None):
     argv = list(argv if argv is not None else sys.argv[1:])
     tf_dir = None
-    for a in [a for a in argv if a.startswith("--tf")]:
+    for a in [a for a in argv if a == "--tf" or a.startswith("--tf=")]:
         argv.remove(a)
         tf_dir = a.split("=", 1)[1] if "=" in a else ""
+    bad = [a for a in argv if a.startswith("--")]
+    if bad:
+        print(f"unrecognized option(s): {' '.join(bad)}\n\n{__doc__}")
+        return 1
     if len(argv) < 8:
         print(__doc__)
         return 1

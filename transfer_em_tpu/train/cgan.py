@@ -424,6 +424,11 @@ def make_scan_train_step(config: CycleGANConfig, window: int,
     step = build_step_fn(config, disc_prior)
 
     def scan_fn(state: CycleGANState, xs, ys, rng):
+        if xs.shape[0] != window or ys.shape[0] != window:
+            raise ValueError(
+                f"stacked batches have leading dim {xs.shape[0]}/"
+                f"{ys.shape[0]}, expected window={window}")
+
         def body(st, xy):
             st2, lv = step(st, xy[0], xy[1], rng)
             return st2, lv
@@ -635,6 +640,19 @@ class EM2EM:
                         loss_acc = l if loss_acc is None else loss_acc + l
                         count += 1
                     else:
+                        if window and (
+                                jnp.shape(data_f) != jnp.shape(window[0][0])
+                                or jnp.shape(data_g)
+                                != jnp.shape(window[0][1])):
+                            # Ragged batch (e.g. a user iterable without
+                            # drop_remainder): flush the partial window
+                            # through the per-step path and start fresh.
+                            for wf_, wg_ in window:
+                                l = self.train_step(wf_, wg_)
+                                loss_acc = (l if loss_acc is None
+                                            else loss_acc + l)
+                                count += 1
+                            window = []
                         window.append((data_f, data_g))
                         if len(window) == scan_window:
                             l = self._scan_window(scan_step, window)

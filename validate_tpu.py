@@ -2,13 +2,16 @@
 
 Two checks, both measured in round 1 (PERF.md "bf16 training convergence"):
 
-1. default: the CPU learning-test recipe (2D warp fixture, wf=32, 200
-   steps) in bf16 — cycle loss must at least halve (measured 5.1 -> 0.6).
+1. default: the CPU learning-test recipe (2D warp fixture, wf=32) in bf16 —
+   cycle loss must halve anywhere within 600 steps (bf16 trajectories vary;
+   measured runs halved by step ~200, 5.1 -> 0.1-0.6).  ``--accum`` runs it
+   with accum_steps=2, the gradient-accumulation path bench.py measures.
 2. --soak: 1000-step 3D wf=8 bf16 run on structured patches — convergence
    (measured 2.9 -> 0.16), every loss finite, discriminators balanced.
 
-Run:  python validate_tpu.py [--soak]
-(On the remotely-attached chip allow ~5-10 min with a warm compile cache.)
+Run:  python validate_tpu.py [--accum] [--soak]
+(On the remotely-attached chip allow ~5-10 min with a warm compile cache —
+up to ~3x that if convergence needs the full 600-step window.)
 
 Caution from the measured negative control: pure uint8 NOISE is not a
 learnable fixture (blur destroys it unrecoverably; cycle stays flat at
@@ -79,11 +82,13 @@ def check_2d_convergence(max_steps=600, accum_steps=1):
                   compute_dtype="bfloat16", accum_steps=accum_steps)
     hist = []
     t0 = time.time()
-    first = None
-    while len(hist) < max_steps:
-        for bx, by in zip(source_ds, target_ds):
+    first = last = None
+    next_check = 100  # probe at each crossed 100-step boundary, whatever
+    while len(hist) < max_steps:  # the epoch length (steps/epoch need not
+        for bx, by in zip(source_ds, target_ds):  # divide 100)
             hist.append(np.asarray(model.train_step(bx, by)))
-        if len(hist) % 100 == 0 and len(hist) >= 20:
+        if len(hist) >= next_check and len(hist) >= 20:
+            next_check = (len(hist) // 100 + 1) * 100
             h = np.stack(hist)
             assert np.all(np.isfinite(h)), "non-finite loss"
             if first is None:
@@ -95,6 +100,9 @@ def check_2d_convergence(max_steps=600, accum_steps=1):
                 print(f"[2d] CONVERGENCE OK (bf16, wf=32, halved by step "
                       f"{len(hist)})")
                 return
+    if first is None:  # loop never reached a probe point
+        h = np.stack(hist)
+        first, last = h[:20, 6].mean(), h[-20:, 6].mean()
     raise AssertionError(
         f"cycle loss never halved within {max_steps} steps: "
         f"{first:.3f} -> {last:.3f}")
