@@ -463,3 +463,49 @@ def test_warp_tensor_matches_reference(rng):
     free = ~(tf_holes | jax_holes)
     assert free.mean() > 0.5  # most voxels hole-free
     np.testing.assert_allclose(got[free], want[free], atol=1e-3)
+
+
+def test_load_generator_accepts_reference_artifacts(tmp_path):
+    """infer.load_generator transparently converts a reference TF export
+    (Keras SavedModel dir or .h5 beside the reference's 4-key meta.json,
+    utils.py:133-167), so predict_cube_from_saved_model / the predictors /
+    ModelService run unmodified on a reference-trained model."""
+    import json
+
+    import jax.numpy as jnp
+
+    from transfer_em_tpu.infer.export import load_generator
+
+    tf_model, outdim = _load_reference_generator(is3d=False)
+    ref_meta = {"buffer": (74 - outdim) // 2, "outdimsize": outdim,
+                "meanstd_x": [0.1, 0.9], "meanstd_y": [0.2, 1.1]}
+
+    # SavedModel-dir form (what reference save_model writes; Keras 3 here
+    # produces it via export() — loaded through the restored VARIABLES,
+    # which works for Keras-2-era SavedModels identically).
+    sm = tmp_path / "ref_model"
+    tf_model.export(str(sm))
+    (sm / "meta.json").write_text(json.dumps(ref_meta))
+
+    # .h5 form with meta.json BESIDE the file.
+    h5 = tmp_path / "gen.h5"
+    tf_model.save(str(h5))
+    (tmp_path / "meta.json").write_text(json.dumps(ref_meta))
+
+    rng = np.random.default_rng(6)
+    x = rng.uniform(-1, 1, size=(1, 74, 74, 1)).astype(np.float32)
+    want = tf_model(x, training=False).numpy()
+    for src in (str(sm), str(h5)):
+        gen, params, meta = load_generator(src)
+        assert (meta.wf, meta.is3d) == (8, False)  # inferred, not defaults
+        assert meta.buffer == ref_meta["buffer"]
+        assert meta.meanstd_x == (0.1, 0.9)
+        got = np.asarray(gen.apply(params, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+    # A dir with neither format still errors clearly.
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    (empty / "meta.json").write_text(json.dumps(ref_meta))
+    with pytest.raises(FileNotFoundError, match="saved_model.pb"):
+        load_generator(str(empty))

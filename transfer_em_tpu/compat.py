@@ -116,6 +116,43 @@ def keras_conv_weights(model) -> List[WeightGroup]:
     return out
 
 
+def savedmodel_conv_weights(path: str) -> List[WeightGroup]:
+    """Conv weight groups from a TF SavedModel's restored VARIABLES.
+
+    ``tf.keras.models.load_model`` cannot revive a SavedModel as a Keras
+    model under Keras 3 (and a Keras-3 ``model.export()`` artifact has no
+    Keras metadata at all), but ``tf.saved_model.load(path).variables``
+    exposes every weight in the model's build order for both vintages.
+    Non-conv state (dropout seed_generator vars) is skipped; a bias
+    variable joins the preceding kernel's group (the reference's only
+    biased conv is the discriminator head's 1x1).  Transposed-conv kernels
+    are NOT distinguishable by class here — callers map groups onto slots,
+    and ``assign_weights`` swaps axes for ``sub == "up"`` slots; per-slot
+    shape checks catch any ordering surprise.
+    """
+    import tensorflow as tf
+    obj = tf.saved_model.load(path)
+    groups: List[WeightGroup] = []
+    for v in obj.variables:
+        name = v.name.split(":")[0]
+        layer, _, kind = name.rpartition("/")
+        arr = np.asarray(v)
+        if kind == "kernel" and arr.ndim >= 4:
+            groups.append((layer, [arr], "SavedModelVariable"))
+        elif kind == "bias" and groups and groups[-1][0] == layer:
+            groups[-1][1].append(arr)
+    return groups
+
+
+def _conv_weight_groups(source) -> List[WeightGroup]:
+    """Weight groups from a live model, ``.h5``/``.keras`` file, or a TF
+    SavedModel directory (routed through the variables loader above)."""
+    if isinstance(source, str) and os.path.isdir(source) and os.path.exists(
+            os.path.join(source, "saved_model.pb")):
+        return savedmodel_conv_weights(source)
+    return keras_conv_weights(_as_keras_model(source))
+
+
 def assign_weights(params, slots: Sequence[Tuple[str, str | None]],
                    groups: Sequence[WeightGroup]):
     """Copy reference weight groups (build order) into our param tree.
@@ -170,7 +207,7 @@ def load_tf_generator(source) -> Tuple[UNetGenerator, dict]:
     ``wf`` and 2D/3D are inferred from the stem conv (width 64//wf,
     reference generator.py:53; rank 5 kernels == 3D).
     """
-    groups = keras_conv_weights(_as_keras_model(source))
+    groups = _conv_weight_groups(source)
     if not groups or groups[0][1][0].ndim < 4:
         raise ValueError("first weight group is not a conv kernel")
     stem = groups[0][1][0]
@@ -185,7 +222,7 @@ def load_tf_discriminator(source) -> Tuple[Discriminator, dict]:
     """Reference Keras discriminator -> (module, params); wf / 2D-3D
     inferred (3D: 9 weight groups starting at down1; 2D: 7 starting at the
     16-wide hack conv — the reference 2D model never materializes down1)."""
-    groups = keras_conv_weights(_as_keras_model(source))
+    groups = _conv_weight_groups(source)
     if not groups:
         raise ValueError("no conv weight groups found in the Keras model")
     first = groups[0][1][0]

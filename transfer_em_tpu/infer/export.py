@@ -46,15 +46,45 @@ def generator_module(wf: int) -> UNetGenerator:
 
 
 def load_generator(model_dir: str):
-    """Load an exported generator: returns (gen_module, params, meta)."""
+    """Load an exported generator: returns (gen_module, params, meta).
+
+    Accepts BOTH export formats:
+
+    * ours — ``generator.msgpack`` + ``meta.json`` (export_generator);
+    * the reference's — a Keras SavedModel dir or ``.h5`` file (reference
+      utils.py:133-167) with the reference's 4-key ``meta.json`` beside it.
+      Converted in place via ``transfer_em_tpu.compat`` (wf and 2D/3D
+      inferred from the weights, requires tensorflow), so every serving
+      entry point (predict_cube_from_saved_model, the predictors,
+      ModelService) runs unmodified on a reference-trained artifact.
+    """
+    is_h5 = model_dir.endswith(".h5") and os.path.isfile(model_dir)
+    meta_dir = os.path.dirname(model_dir) if is_h5 else model_dir
     meta = ExportMeta.from_json(
-        open(os.path.join(model_dir, META_FILE)).read())
+        open(os.path.join(meta_dir, META_FILE)).read())
+    params_path = os.path.join(model_dir, PARAMS_FILE)
+    if is_h5 or not os.path.exists(params_path):
+        if not is_h5 and not os.path.exists(
+                os.path.join(model_dir, "saved_model.pb")):
+            raise FileNotFoundError(
+                f"{model_dir!r} contains neither {PARAMS_FILE} (this "
+                "package's export) nor saved_model.pb/.h5 (a reference "
+                "TF export)")
+        import dataclasses
+
+        from ..compat import load_tf_generator
+        gen, params = load_tf_generator(model_dir)
+        stem = params["params"]["stem"]["kernel"]
+        meta = dataclasses.replace(meta, wf=gen.wf, is3d=stem.ndim == 5)
+        # Re-fetch the cached module so gen.apply stays a stable callable
+        # (the docstring above; compat builds a fresh instance).
+        return generator_module(gen.wf), params, meta
     gen = generator_module(meta.wf)
     sp = (meta.dimsize,) * (3 if meta.is3d else 2)
     import jax.numpy as jnp
     template = gen.init(jax.random.PRNGKey(0),
                         jnp.zeros((1,) + sp + (1,), jnp.float32))
-    with open(os.path.join(model_dir, PARAMS_FILE), "rb") as f:
+    with open(params_path, "rb") as f:
         params = serialization.from_bytes(template, f.read())
     return gen, params, meta
 
