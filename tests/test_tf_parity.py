@@ -509,3 +509,124 @@ def test_load_generator_accepts_reference_artifacts(tmp_path):
     (empty / "meta.json").write_text(json.dumps(ref_meta))
     with pytest.raises(FileNotFoundError, match="saved_model.pb"):
         load_generator(str(empty))
+
+
+def _build_reference_em2em(tmp_path, monkeypatch, steps=2):
+    """Live reference EM2EM (2D wf=8), trained `steps` steps, checkpointed."""
+    import tensorflow as tf
+
+    import tfa_stub
+    tfa, tfa_losses = tfa_stub.build()
+    monkeypatch.setitem(sys.modules, "tensorflow_addons", tfa)
+    monkeypatch.setitem(sys.modules, "tensorflow_addons.losses", tfa_losses)
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, REFERENCE)
+    try:
+        from transfer_em.cgan import EM2EM as RefEM2EM
+        ref = RefEM2EM(74, "ckpt_migrate", is3d=False, wf=8)
+    finally:
+        sys.path.remove(REFERENCE)
+    rng = np.random.default_rng(3)
+    for i in range(steps):
+        x = rng.uniform(-1, 1, size=(2, 74, 74, 1)).astype(np.float32)
+        y = rng.uniform(-1, 1, size=(2, 74, 74, 1)).astype(np.float32)
+        ref.train_step(tf.convert_to_tensor(x), tf.convert_to_tensor(y))
+    ref.make_checkpoint(1)
+    return ref, str(tmp_path / "checkpoints" / "train_ckpt_migrate")
+
+
+def test_from_reference_checkpoint_full_state(tmp_path, monkeypatch):
+    """EM2EM.from_reference_checkpoint: a reference tf.train.Checkpoint
+    (params + 4 Adam optimizers, cgan.py:86-95) becomes a live EM2EM that
+    continues the run — weights at forward parity, optimizer step counts
+    exact, m/v slots placed correctly (nu must be the non-negative second
+    moment; a swapped pairing would put mixed-sign m arrays there)."""
+    import jax
+    import jax.numpy as jnp
+    import tensorflow as tf
+
+    from transfer_em_tpu.train import EM2EM
+
+    ref, ckdir = _build_reference_em2em(tmp_path, monkeypatch, steps=2)
+    model = EM2EM.from_reference_checkpoint(
+        ckdir, "migrated", checkpoint_root=str(tmp_path / "ours"))
+    assert model.config.wf == 8 and model.is3d is False
+    assert int(model.state.step) == 2
+    for opt in (model.state.opt_gg, model.state.opt_gf,
+                model.state.opt_dx, model.state.opt_dy):
+        assert int(opt.count) == 2
+        nus = jax.tree.leaves(opt.nu)
+        mus = jax.tree.leaves(opt.mu)
+        assert all(float(jnp.min(v)) >= 0 for v in nus)   # second moment
+        assert any(float(jnp.min(m)) < 0 for m in mus)    # first moment
+        assert any(float(jnp.max(jnp.abs(v))) > 0 for v in nus)
+
+    # Forward parity of every imported network vs the live TF models.
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-1, 1, size=(1, 74, 74, 1)).astype(np.float32)
+    got = np.asarray(model.gen.apply(model.state.gg, jnp.asarray(x)))
+    want = ref.generator_g(tf.constant(x), training=False).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+    d = rng.uniform(-1, 1, size=(1, 40, 40, 1)).astype(np.float32)
+    got_d = np.asarray(model.disc_x_model.apply(model.state.dx,
+                                                jnp.asarray(d)))
+    want_d = ref.discriminator_x(tf.constant(d), training=False).numpy()
+    np.testing.assert_allclose(got_d, want_d, atol=1e-3, rtol=1e-3)
+
+    # The migrated model trains on: one more step, counters advance.
+    loss = model.train_step(jnp.asarray(np.tile(x, (2, 1, 1, 1))),
+                            jnp.asarray(np.tile(x, (2, 1, 1, 1))))
+    assert np.all(np.isfinite(np.asarray(loss)))
+    assert int(model.state.step) == 3
+    assert int(model.state.opt_gg.count) == 3
+
+
+def test_load_reference_checkpoint_legacy_layout(tmp_path, monkeypatch):
+    """The Keras-2-era checkpoint layout (object-graph paths with nested
+    layer_with_weights indices + .OPTIMIZER_SLOT m/v + iter) imports
+    identically to the modern layout.  Fabricated via tf.raw_ops.SaveV2
+    from the SAME trained state, so the two extractors must agree bit-for-
+    bit."""
+    import jax
+    import tensorflow as tf
+
+    from transfer_em_tpu import compat
+
+    ref, ckdir = _build_reference_em2em(tmp_path, monkeypatch, steps=2)
+    modern_state, wf, is3d = compat.load_reference_checkpoint(ckdir)
+
+    rd = tf.train.load_checkpoint(tf.train.latest_checkpoint(ckdir))
+    keys = sorted(rd.get_variable_to_shape_map())
+    names, tensors = [], []
+    suffix = "/.ATTRIBUTES/VARIABLE_VALUE"
+    for name in ("generator_g", "generator_f", "discriminator_x",
+                 "discriminator_y"):
+        ws, ms, vs, it = compat._ckpt_modern(rd, keys, name)
+        for i, (w, m, v) in enumerate(zip(ws, ms, vs)):
+            # Emulate nested sub-model paths for some layers (numeric-tuple
+            # sort must restore build order regardless of nesting depth).
+            if i % 3 == 1:
+                base = f"{name}/layer_with_weights-{i}/layer_with_weights-0"
+            else:
+                base = f"{name}/layer_with_weights-{i}"
+            kind = "kernel" if w.ndim >= 4 else "bias"
+            wkey = f"{base}/{kind}{suffix}"
+            names += [wkey,
+                      f"{base}/{kind}/.OPTIMIZER_SLOT/{name}_optimizer/m"
+                      f"{suffix}",
+                      f"{base}/{kind}/.OPTIMIZER_SLOT/{name}_optimizer/v"
+                      f"{suffix}"]
+            tensors += [w, m, v]
+        names.append(f"{name}_optimizer/iter{suffix}")
+        tensors.append(np.asarray(it, np.int64))
+    prefix = str(tmp_path / "legacy" / "ckpt-1")
+    (tmp_path / "legacy").mkdir()
+    tf.raw_ops.SaveV2(prefix=prefix, tensor_names=names,
+                      shape_and_slices=[""] * len(names),
+                      tensors=[tf.constant(t) for t in tensors])
+
+    legacy_state, wf2, is3d2 = compat.load_reference_checkpoint(prefix)
+    assert (wf2, is3d2) == (wf, is3d)
+    for a, b in zip(jax.tree.leaves(modern_state),
+                    jax.tree.leaves(legacy_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -10,6 +10,9 @@ those into our Flax modules + params:
     gen,  params = compat.load_tf_generator("gen_dir_or.h5")
     disc, params = compat.load_tf_discriminator("disc.h5")
     prior        = compat.prior_from_tf_generator("prior.h5", "down2")
+    state, wf, is3d = compat.load_reference_checkpoint("checkpoints/train_x")
+    #   ^ FULL training state (params + 4 Adam m/v/step) from a reference
+    #     tf.train.Checkpoint; EM2EM.from_reference_checkpoint wraps this.
     compat.export_tf_savedmodel("our_export_dir", "tf_savedmodel_dir")  # reverse
 
 Weight mapping (proven against the LIVE reference models in
@@ -238,6 +241,153 @@ def load_tf_discriminator(source) -> Tuple[Discriminator, dict]:
     disc = Discriminator(is3d=is3d, wf=wf)
     params = _concretize(_template_params(disc, is3d, 40))
     return disc, assign_weights(params, slots, groups)
+
+
+def _group_arrays(arrays: Sequence[np.ndarray]) -> List[WeightGroup]:
+    """Flat build-order arrays -> weight groups: each >=4-D kernel starts a
+    group, a following low-rank bias joins its layer's group."""
+    groups: List[WeightGroup] = []
+    for a in arrays:
+        if a.ndim >= 4:
+            groups.append(("ckpt", [a], "SavedModelVariable"))
+        elif groups:
+            groups[-1][1].append(a)
+        else:
+            raise ValueError("weight list does not start with a conv kernel")
+    return groups
+
+
+def _ckpt_modern(rd, keys, name):
+    """Keras-3 tf.train.Checkpoint layout: weights under
+    '<name>_optimizer/_trainable_variables/<i>', Adam m/v paired per
+    variable in '<name>_optimizer/_variables/<j>' (j ascending: m, v for
+    var 0, then var 1, ...), step in '_iterations'."""
+    import re
+    pref = f"{name}_optimizer/"
+    tv, sv = {}, {}
+    for k in keys:
+        m = re.match(re.escape(pref) + r"_trainable_variables/(\d+)/", k)
+        if m:
+            tv[int(m.group(1))] = rd.get_tensor(k)
+            continue
+        m = re.match(re.escape(pref) + r"_variables/(\d+)/", k)
+        if m:
+            sv[int(m.group(1))] = rd.get_tensor(k)
+    ws = [tv[i] for i in range(len(tv))]
+    idx = sorted(sv)
+    if len(idx) != 2 * len(ws):
+        raise ValueError(
+            f"{name}: {len(idx)} optimizer slot tensors for {len(ws)} "
+            "weights (expected m+v per weight)")
+    ms = [sv[idx[2 * i]] for i in range(len(ws))]
+    vs = [sv[idx[2 * i + 1]] for i in range(len(ws))]
+    it = int(rd.get_tensor(pref + "_iterations/.ATTRIBUTES/VARIABLE_VALUE"))
+    return ws, ms, vs, it
+
+
+def _ckpt_legacy(rd, keys, name):
+    """Keras-2-era layout (what the reference shipped against): weights at
+    '<name>/layer_with_weights-.../{kernel,bias}/.ATTRIBUTES/VARIABLE_VALUE'
+    (nested sub-models nest the layer_with_weights path; numeric-tuple sort
+    of those indices restores build order), Adam slots at the weight path +
+    '.OPTIMIZER_SLOT/<name>_optimizer/{m,v}', step at '<name>_optimizer/
+    iter'.  Slot association rides the weight path, so it is robust to any
+    nesting; per-slot shape checks downstream guard the ordering."""
+    import re
+    suffix = "/.ATTRIBUTES/VARIABLE_VALUE"
+    wkeys = [k for k in keys
+             if k.startswith(name + "/") and ".OPTIMIZER_SLOT" not in k
+             and (k.endswith("/kernel" + suffix)
+                  or k.endswith("/bias" + suffix))]
+
+    def order(k):
+        nums = tuple(int(n) for n in re.findall(r"layer_with_weights-(\d+)",
+                                                k))
+        return nums + (0 if k.endswith("/kernel" + suffix) else 1,)
+
+    wkeys.sort(key=order)
+    ws = [rd.get_tensor(k) for k in wkeys]
+    slot = lambda k, s: k[:-len(suffix)] + \
+        f"/.OPTIMIZER_SLOT/{name}_optimizer/{s}" + suffix
+    ms = [rd.get_tensor(slot(k, "m")) for k in wkeys]
+    vs = [rd.get_tensor(slot(k, "v")) for k in wkeys]
+    it = int(rd.get_tensor(f"{name}_optimizer/iter" + suffix))
+    return ws, ms, vs, it
+
+
+def load_reference_checkpoint(ckpt_path: str):
+    """Reference ``tf.train.Checkpoint`` (cgan.py:86-95) -> full
+    ``CycleGANState``: all 4 models' weights AND the 4 Adam optimizers'
+    m/v slots + step counts, so a reference training RUN continues here
+    with its optimizer memory intact (our Adam implements tf.keras Adam's
+    exact update rule, train/state.py).  Returns ``(state, wf, is3d)``;
+    use ``EM2EM.from_reference_checkpoint`` for the one-call version.
+
+    ``ckpt_path``: a checkpoint prefix (``.../ckpt-12``) or a directory
+    containing one (``tf.train.latest_checkpoint`` is consulted).  Both
+    on-disk layouts are handled — the Keras-2-era object-graph layout the
+    reference shipped against and the Keras-3 layout current TF writes —
+    with per-slot shape checks (transposed-conv kernels and their m/v are
+    axis-swapped like all other imports in this module).  Checkpoints from
+    a ``disc_prior`` run fail those shape checks; import the models
+    individually in that case."""
+    import tensorflow as tf
+    if os.path.isdir(ckpt_path):
+        latest = tf.train.latest_checkpoint(ckpt_path)
+        if latest is None:
+            raise ValueError(f"no TF checkpoint found under {ckpt_path!r}")
+        ckpt_path = latest
+    rd = tf.train.load_checkpoint(ckpt_path)
+    keys = sorted(rd.get_variable_to_shape_map())
+    if any(k.startswith("generator_g_optimizer/_trainable_variables/")
+           for k in keys):
+        extract = _ckpt_modern
+    elif any(k.startswith("generator_g/layer_with_weights") for k in keys):
+        extract = _ckpt_legacy
+    else:
+        raise ValueError(
+            "not a reference EM2EM checkpoint (no generator_g weights in "
+            "either the Keras-2 or Keras-3 layout); keys start with: "
+            f"{sorted({k.split('/')[0] for k in keys})}")
+
+    import jax.numpy as jnp
+    import optax
+
+    per_model = {}
+    for name in ("generator_g", "generator_f", "discriminator_x",
+                 "discriminator_y"):
+        per_model[name] = extract(rd, keys, name)
+
+    stem = per_model["generator_g"][0][0]
+    is3d = stem.ndim == 5
+    wf = 64 // int(stem.shape[-1])
+    gen = UNetGenerator(wf=wf)
+    disc = Discriminator(is3d=is3d, wf=wf)
+    disc_slots = DISC_SLOTS_3D if is3d else DISC_SLOTS_2D
+
+    def convert(name, module, slots, dimsize):
+        ws, ms, vs, it = per_model[name]
+        tmpl = _concretize(_template_params(module, is3d, dimsize))
+        params = assign_weights(tmpl, slots, _group_arrays(ws))
+        mu = assign_weights(tmpl, slots, _group_arrays(ms))
+        nu = assign_weights(tmpl, slots, _group_arrays(vs))
+        to_jnp = lambda t: jax.tree.map(jnp.asarray, t)
+        opt = optax.ScaleByAdamState(
+            count=jnp.asarray(it, jnp.int32),
+            mu=to_jnp(mu), nu=to_jnp(nu))
+        return to_jnp(params), opt, it
+
+    gg, opt_gg, it = convert("generator_g", gen, GEN_SLOTS, 74)
+    gf, opt_gf, _ = convert("generator_f", gen, GEN_SLOTS, 74)
+    dx, opt_dx, _ = convert("discriminator_x", disc, disc_slots, 40)
+    dy, opt_dy, _ = convert("discriminator_y", disc, disc_slots, 40)
+
+    from .train.state import CycleGANState
+    state = CycleGANState(step=jnp.asarray(it, jnp.int32),
+                          gg=gg, gf=gf, dx=dx, dy=dy,
+                          opt_gg=opt_gg, opt_gf=opt_gf,
+                          opt_dx=opt_dx, opt_dy=opt_dy)
+    return state, wf, is3d
 
 
 def export_tf_savedmodel(model_dir: str, out_dir: str,

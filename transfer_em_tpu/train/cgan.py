@@ -551,6 +551,32 @@ class EM2EM:
                 mgr.close()
         print(f"checkpoint {ckpt_restore} restored")
 
+    @classmethod
+    def from_reference_checkpoint(cls, ckpt_path: str, exp_name: str,
+                                  dimsize: int = 74, **kwargs) -> "EM2EM":
+        """Continue a REFERENCE training run here: build an EM2EM whose
+        parameters AND Adam optimizer slots/step come from a reference
+        ``tf.train.Checkpoint`` (reference cgan.py:86-103; conversion in
+        compat.load_reference_checkpoint — both TF checkpoint layouts).
+        ``wf``/2D-3D are inferred from the weights; remaining kwargs pass
+        through to ``__init__`` (checkpoint_root, compute_dtype, ...)."""
+        from ..compat import load_reference_checkpoint
+        state, wf, is3d = load_reference_checkpoint(ckpt_path)
+        model = cls(dimsize, exp_name, is3d=is3d, wf=wf, **kwargs)
+        want = jax.tree.structure(model.state)
+        got = jax.tree.structure(state)
+        if want != got:
+            raise ValueError(
+                f"imported checkpoint structure {got} does not match the "
+                f"built model {want}")
+        for a, b in zip(jax.tree.leaves(model.state),
+                        jax.tree.leaves(state)):
+            if tuple(a.shape) != tuple(b.shape):
+                raise ValueError(
+                    f"imported leaf shape {b.shape} != model {a.shape}")
+        model.state = state
+        return model
+
     # ------------------------------------------------------------ multi-chip
     def to_mesh(self, mesh=None) -> "EM2EM":
         """Switch training to data-parallel execution over a device Mesh.
