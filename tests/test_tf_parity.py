@@ -487,7 +487,11 @@ def test_load_generator_accepts_reference_artifacts(tmp_path):
     tf_model.export(str(sm))
     (sm / "meta.json").write_text(json.dumps(ref_meta))
 
-    # .h5 form with meta.json BESIDE the file.
+    # .h5 file form with meta.json BESIDE the file.  (.keras is detected
+    # as a file artifact too, but the reference architecture itself does
+    # not survive a .keras round trip — its downsample blocks SHARE layers
+    # between two nested models, which the .keras format cannot rebuild —
+    # so only the error path is checked for it below.)
     h5 = tmp_path / "gen.h5"
     tf_model.save(str(h5))
     (tmp_path / "meta.json").write_text(json.dumps(ref_meta))
@@ -509,6 +513,15 @@ def test_load_generator_accepts_reference_artifacts(tmp_path):
     (empty / "meta.json").write_text(json.dumps(ref_meta))
     with pytest.raises(FileNotFoundError, match="saved_model.pb"):
         load_generator(str(empty))
+
+    # A .keras file is detected as a file artifact (meta.json read from its
+    # parent dir, conversion attempted) — the reference architecture cannot
+    # be revived from .keras (shared nested layers), and Keras's own error
+    # must surface, not a NotADirectoryError on '<file>/meta.json'.
+    keras_f = tmp_path / "gen.keras"
+    tf_model.save(str(keras_f))
+    with pytest.raises(ValueError, match="could not be loaded"):
+        load_generator(str(keras_f))
 
 
 def _build_reference_em2em(tmp_path, monkeypatch, steps=2):
@@ -579,6 +592,31 @@ def test_from_reference_checkpoint_full_state(tmp_path, monkeypatch):
     assert np.all(np.isfinite(np.asarray(loss)))
     assert int(model.state.step) == 3
     assert int(model.state.opt_gg.count) == 3
+
+    # A colliding exp_name (existing orbax checkpoints) is rejected — the
+    # import would silently discard the auto-restored run and then reuse
+    # its step numbering.
+    model.make_checkpoint(1)
+    model.wait_until_finished()
+    with pytest.raises(ValueError, match="already has checkpoints"):
+        EM2EM.from_reference_checkpoint(
+            ckdir, "migrated", checkpoint_root=str(tmp_path / "ours"))
+
+
+def test_savedmodel_bias_without_kernel_rejected(tmp_path):
+    """savedmodel_conv_weights must refuse (not silently drop) a bias that
+    cannot be associated with its layer's conv kernel — a Dense layer's
+    2-D kernel is skipped, orphaning its bias."""
+    import tensorflow as tf
+
+    from transfer_em_tpu import compat
+
+    inp = tf.keras.Input((3,))
+    model = tf.keras.Model(inp, tf.keras.layers.Dense(4)(inp))
+    out = str(tmp_path / "biasonly")
+    model.export(out)
+    with pytest.raises(ValueError, match="no preceding kernel"):
+        compat.savedmodel_conv_weights(out)
 
 
 def test_load_reference_checkpoint_legacy_layout(tmp_path, monkeypatch):

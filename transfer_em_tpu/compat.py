@@ -135,16 +135,35 @@ def savedmodel_conv_weights(path: str) -> List[WeightGroup]:
     """
     import tensorflow as tf
     obj = tf.saved_model.load(path)
+    variables = getattr(obj, "variables", None)
+    if variables is None:
+        raise ValueError(
+            f"SavedModel at {path!r} exposes no variables — not a "
+            "Keras-exported model?")
     groups: List[WeightGroup] = []
-    for v in obj.variables:
+    for v in variables:
         name = v.name.split(":")[0]
         layer, _, kind = name.rpartition("/")
         arr = np.asarray(v)
         if kind == "kernel" and arr.ndim >= 4:
             groups.append((layer, [arr], "SavedModelVariable"))
-        elif kind == "bias" and groups and groups[-1][0] == layer:
+        elif kind == "bias":
+            if not (groups and groups[-1][0] == layer):
+                raise ValueError(
+                    f"bias variable {v.name!r} has no preceding kernel of "
+                    f"layer {layer!r} to join — silently dropping it would "
+                    "zero that layer's bias; not a reference-architecture "
+                    "SavedModel?")
             groups[-1][1].append(arr)
     return groups
+
+
+def params_geometry(params) -> Tuple[int, bool]:
+    """``(wf, is3d)`` from converted generator params — the single place
+    the stem-kernel inference rule lives (width 64//wf, reference
+    generator.py:53; rank-5 kernel == 3D)."""
+    k = params["params"]["stem"]["kernel"]
+    return 64 // int(k.shape[-1]), k.ndim == 5
 
 
 def _conv_weight_groups(source) -> List[WeightGroup]:

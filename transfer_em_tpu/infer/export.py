@@ -58,24 +58,25 @@ def load_generator(model_dir: str):
       entry point (predict_cube_from_saved_model, the predictors,
       ModelService) runs unmodified on a reference-trained artifact.
     """
-    is_h5 = model_dir.endswith(".h5") and os.path.isfile(model_dir)
-    meta_dir = os.path.dirname(model_dir) if is_h5 else model_dir
+    is_file = (model_dir.endswith((".h5", ".keras"))
+               and os.path.isfile(model_dir))
+    meta_dir = os.path.dirname(model_dir) if is_file else model_dir
     meta = ExportMeta.from_json(
         open(os.path.join(meta_dir, META_FILE)).read())
     params_path = os.path.join(model_dir, PARAMS_FILE)
-    if is_h5 or not os.path.exists(params_path):
-        if not is_h5 and not os.path.exists(
+    if is_file or not os.path.exists(params_path):
+        if not is_file and not os.path.exists(
                 os.path.join(model_dir, "saved_model.pb")):
             raise FileNotFoundError(
                 f"{model_dir!r} contains neither {PARAMS_FILE} (this "
-                "package's export) nor saved_model.pb/.h5 (a reference "
-                "TF export)")
+                "package's export) nor saved_model.pb/.h5/.keras (a "
+                "reference TF export)")
         import dataclasses
 
-        from ..compat import load_tf_generator
+        from ..compat import load_tf_generator, params_geometry
         gen, params = load_tf_generator(model_dir)
-        stem = params["params"]["stem"]["kernel"]
-        meta = dataclasses.replace(meta, wf=gen.wf, is3d=stem.ndim == 5)
+        wf, is3d = params_geometry(params)
+        meta = dataclasses.replace(meta, wf=wf, is3d=is3d)
         # Re-fetch the cached module so gen.apply stays a stable callable
         # (the docstring above; compat builds a fresh instance).
         return generator_module(gen.wf), params, meta

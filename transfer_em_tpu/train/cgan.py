@@ -563,6 +563,12 @@ class EM2EM:
         from ..compat import load_reference_checkpoint
         state, wf, is3d = load_reference_checkpoint(ckpt_path)
         model = cls(dimsize, exp_name, is3d=is3d, wf=wf, **kwargs)
+        if model._ckpt_mgr.latest_step() is not None:
+            raise ValueError(
+                f"experiment {exp_name!r} already has checkpoints at "
+                f"{model.checkpoint_path} (they would collide with the "
+                "imported run's step numbering) — pass a fresh exp_name, "
+                "or restore the existing run with EM2EM(...) directly")
         want = jax.tree.structure(model.state)
         got = jax.tree.structure(state)
         if want != got:
