@@ -50,11 +50,11 @@ def _tf_conv_kernels(model):
     return out
 
 
-def _load_reference_generator(is3d):
+def _load_reference_generator(is3d, wf=8):
     sys.path.insert(0, REFERENCE)
     try:
         from transfer_em.models.generator import unet_generator
-        model, outdim = unet_generator(74, is3d=is3d)
+        model, outdim = unet_generator(74, is3d=is3d, wf=wf)
     finally:
         sys.path.remove(REFERENCE)
     return model, outdim
@@ -322,6 +322,49 @@ def test_compat_discriminator_roundtrip(tmp_path, is3d):
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
 
 
+def test_compat_discriminator_with_prior_roundtrip(tmp_path):
+    """compat.load_tf_discriminator(disc_prior=): a reference discriminator
+    built WITH a frozen prior (discriminator.py:62-70) converts when the
+    same prior is passed — its frozen sub-model weights are excluded from
+    the slot mapping (layer-level freezing tracked through nesting), and
+    the post-concat convs keep their prior-widened shapes."""
+    import jax.numpy as jnp
+    import tensorflow as tf
+
+    from transfer_em_tpu import compat
+    from transfer_em_tpu.train import create_prior_helper
+
+    # wf=2: the down1 block outputs 32 channels — the reference hard-codes
+    # dims=64 after the concat (discriminator.py:66-70), 32 from down2 +
+    # 32 from the prior.
+    pm, _ = _load_reference_generator(False, wf=2)
+    prior_h5 = str(tmp_path / "prior.h5")
+    pm.save(prior_h5)
+    ref_prior = _make_ref_prior(tf, pm)
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        from transfer_em.models.discriminator import discriminator
+        tf_disc = discriminator(is3d=False, disc_prior=ref_prior)
+    finally:
+        sys.path.remove(REFERENCE)
+    path = str(tmp_path / "disc_prior.h5")
+    tf_disc.save(path)
+
+    prior = create_prior_helper(prior_h5, "down1")
+    disc, params = compat.load_tf_discriminator(path, disc_prior=prior)
+    x = (np.random.default_rng(7)
+         .uniform(-1, 1, size=(1, 40, 40, 1)).astype(np.float32))
+    got = np.asarray(disc.apply(params, jnp.asarray(x)))
+    want = tf_disc(x, training=False).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+    # Without the prior the conversion refuses (extra frozen groups can't
+    # map onto the reference slot list) rather than importing garbage.
+    with pytest.raises(ValueError):
+        compat.load_tf_discriminator(path)
+
+
 def test_create_prior_helper_accepts_h5(tmp_path):
     """The reference's create_prior_helper contract (cgan.py:21-29): a Keras
     .h5 prior model loads, taps an intermediate, and drives a discriminator
@@ -524,7 +567,8 @@ def test_load_generator_accepts_reference_artifacts(tmp_path):
         load_generator(str(keras_f))
 
 
-def _build_reference_em2em(tmp_path, monkeypatch, steps=2):
+def _build_reference_em2em(tmp_path, monkeypatch, steps=2, disc_prior=None,
+                           exp_name="ckpt_migrate"):
     """Live reference EM2EM (2D wf=8), trained `steps` steps, checkpointed."""
     import tensorflow as tf
 
@@ -536,7 +580,8 @@ def _build_reference_em2em(tmp_path, monkeypatch, steps=2):
     sys.path.insert(0, REFERENCE)
     try:
         from transfer_em.cgan import EM2EM as RefEM2EM
-        ref = RefEM2EM(74, "ckpt_migrate", is3d=False, wf=8)
+        ref = RefEM2EM(74, exp_name, is3d=False, wf=8,
+                       disc_prior=disc_prior)
     finally:
         sys.path.remove(REFERENCE)
     rng = np.random.default_rng(3)
@@ -545,7 +590,7 @@ def _build_reference_em2em(tmp_path, monkeypatch, steps=2):
         y = rng.uniform(-1, 1, size=(2, 74, 74, 1)).astype(np.float32)
         ref.train_step(tf.convert_to_tensor(x), tf.convert_to_tensor(y))
     ref.make_checkpoint(1)
-    return ref, str(tmp_path / "checkpoints" / "train_ckpt_migrate")
+    return ref, str(tmp_path / "checkpoints" / f"train_{exp_name}")
 
 
 def test_from_reference_checkpoint_full_state(tmp_path, monkeypatch):
@@ -603,6 +648,79 @@ def test_from_reference_checkpoint_full_state(tmp_path, monkeypatch):
             ckdir, "migrated", checkpoint_root=str(tmp_path / "ours"))
 
 
+def _make_ref_prior(tf, gen):
+    """Frozen truncated prior from a LIVE wf=2 reference generator: stem
+    conv + LeakyReLU + the down1 block -> (17^2, 32ch) for a 40^2 input —
+    the grid and width the disc_prior concat needs (discriminator.py:66-70
+    hard-codes dims=64 = down2's 32 + a 32-channel prior).  Keras 3 cannot
+    rebuild a sub-model through a nested model's ``.output`` (graph-surgery
+    KeyError), so the truncation re-CALLS the same layer objects — same
+    weights, same function as the reference's create_prior_helper."""
+    inp = tf.keras.Input([None, None, 1])
+    x = gen.layers[1](inp)               # stem conv
+    x = gen.layers[2](x)                 # stem LeakyReLU
+    out = gen.get_layer("Downsample_1")(x)
+    prior = tf.keras.Model(inp, out)
+    prior.trainable = False              # create_prior_helper (cgan.py:29)
+    probe = prior(np.zeros((1, 40, 40, 1), np.float32))
+    assert tuple(probe.shape) == (1, 17, 17, 32), probe.shape
+    return prior
+
+
+def test_from_reference_checkpoint_with_disc_prior(tmp_path, monkeypatch):
+    """A reference run trained WITH a disc_prior (cgan.py:59) migrates when
+    the same frozen prior is passed: the prior's own weights are untracked
+    trainables (no Adam slots), discriminator_y's post-concat convs have
+    prior-widened shapes, and the import must (a) skip the prior weights,
+    (b) rebuild disc_y with the prior, (c) reach forward parity."""
+    import jax.numpy as jnp
+    import tensorflow as tf
+
+    from transfer_em_tpu.train import EM2EM, create_prior_helper
+
+    # The prior model: a reference 2D generator saved as .h5 — the
+    # create_prior_helper contract (cgan.py:21-29).  wf=2 so the down1
+    # block outputs 32 channels: the reference hard-codes dims=64 after the
+    # concat (discriminator.py:66-70), i.e. down2's 256//wf=32 plus a
+    # 32-channel prior.
+    prior_model, _ = _load_reference_generator(is3d=False, wf=2)
+    prior_h5 = str(tmp_path / "prior.h5")
+    prior_model.save(prior_h5)
+    ref_prior = _make_ref_prior(tf, prior_model)
+
+    ref, ckdir = _build_reference_em2em(tmp_path, monkeypatch, steps=2,
+                                        disc_prior=ref_prior,
+                                        exp_name="ckpt_prior")
+
+    # Without the prior the import must refuse with a pointed error
+    # (discriminator_y's shapes cannot match), not import garbage.
+    with pytest.raises(ValueError, match="disc_prior"):
+        EM2EM.from_reference_checkpoint(
+            ckdir, "migrated_noprior",
+            checkpoint_root=str(tmp_path / "ours_np"))
+
+    prior = create_prior_helper(prior_h5, "down1")  # our equivalent tap
+    model = EM2EM.from_reference_checkpoint(
+        ckdir, "migrated_prior", disc_prior=prior,
+        checkpoint_root=str(tmp_path / "ours"))
+    assert int(model.state.step) == 2
+    assert int(model.state.opt_dy.count) == 2
+
+    # Forward parity of the prior-carrying discriminator_y.
+    rng = np.random.default_rng(11)
+    d = rng.uniform(-1, 1, size=(1, 40, 40, 1)).astype(np.float32)
+    got = np.asarray(model.disc_y_model.apply(model.state.dy,
+                                              jnp.asarray(d)))
+    want = ref.discriminator_y(tf.constant(d), training=False).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+    # And the migrated model keeps training.
+    x = rng.uniform(-1, 1, size=(2, 74, 74, 1)).astype(np.float32)
+    loss = model.train_step(jnp.asarray(x), jnp.asarray(x))
+    assert np.all(np.isfinite(np.asarray(loss)))
+    assert int(model.state.opt_dy.count) == 3
+
+
 def test_savedmodel_bias_without_kernel_rejected(tmp_path):
     """savedmodel_conv_weights must refuse (not silently drop) a bias that
     cannot be associated with its layer's conv kernel — a Dense layer's
@@ -657,6 +775,12 @@ def test_load_reference_checkpoint_legacy_layout(tmp_path, monkeypatch):
             tensors += [w, m, v]
         names.append(f"{name}_optimizer/iter{suffix}")
         tensors.append(np.asarray(it, np.int64))
+    # A frozen prior-like weight (kernel with NO Adam slots, like a
+    # disc_prior sub-model's) must be ignored by the legacy extractor —
+    # the trainables-only contract the modern layout gives for free.
+    names.append("discriminator_y/layer_with_weights-2/"
+                 f"layer_with_weights-0/kernel{suffix}")
+    tensors.append(np.full((3, 3, 1, 16), 7.0, np.float32))
     prefix = str(tmp_path / "legacy" / "ckpt-1")
     (tmp_path / "legacy").mkdir()
     tf.raw_ops.SaveV2(prefix=prefix, tensor_names=names,

@@ -76,7 +76,8 @@ def _as_keras_model(source):
     return source
 
 
-def keras_conv_weights(model) -> List[WeightGroup]:
+def keras_conv_weights(model, trainable_only: bool = False
+                       ) -> List[WeightGroup]:
     """All unique weight groups of a Keras functional model, build order,
     nested sub-models flattened, shared layers deduped.
 
@@ -87,6 +88,12 @@ def keras_conv_weights(model) -> List[WeightGroup]:
     model, with identical names and identical values.  Distinct layers
     that merely collide on name (Keras reuses nested-model layer names)
     keep different values and survive.
+
+    ``trainable_only``: skip layers that are frozen themselves OR sit
+    inside a frozen nested model (tracked through the recursion — a frozen
+    parent does not flip its children's own ``trainable`` flags).  This is
+    how a ``disc_prior`` sub-model (reference cgan.py:21-29 sets
+    ``trainable=False``) is excluded from a prior-carrying discriminator.
     """
     import hashlib
 
@@ -95,11 +102,14 @@ def keras_conv_weights(model) -> List[WeightGroup]:
     seen_ids: set = set()
     seen_sigs: set = set()
 
-    def visit(layer):
+    def visit(layer, frozen=False):
+        frozen = frozen or not layer.trainable
         if isinstance(layer, tf.keras.Model) and layer is not model:
             for sub in layer.layers:
-                visit(sub)
+                visit(sub, frozen)
         elif layer.weights:
+            if trainable_only and frozen:
+                return
             fresh = [w for w in layer.weights if id(w) not in seen_ids]
             if not fresh:
                 return
@@ -166,13 +176,20 @@ def params_geometry(params) -> Tuple[int, bool]:
     return 64 // int(k.shape[-1]), k.ndim == 5
 
 
-def _conv_weight_groups(source) -> List[WeightGroup]:
+def _conv_weight_groups(source, trainable_only: bool = False
+                        ) -> List[WeightGroup]:
     """Weight groups from a live model, ``.h5``/``.keras`` file, or a TF
     SavedModel directory (routed through the variables loader above)."""
     if isinstance(source, str) and os.path.isdir(source) and os.path.exists(
             os.path.join(source, "saved_model.pb")):
+        if trainable_only:
+            raise ValueError(
+                "a prior-carrying discriminator can only be converted from "
+                "a live Keras model or .h5 file: SavedModel variables do "
+                "not reliably record layer-level freezing, so the prior's "
+                "weights cannot be told apart")
         return savedmodel_conv_weights(source)
-    return keras_conv_weights(_as_keras_model(source))
+    return keras_conv_weights(_as_keras_model(source), trainable_only)
 
 
 def assign_weights(params, slots: Sequence[Tuple[str, str | None]],
@@ -240,11 +257,18 @@ def load_tf_generator(source) -> Tuple[UNetGenerator, dict]:
     return gen, assign_weights(params, GEN_SLOTS, groups)
 
 
-def load_tf_discriminator(source) -> Tuple[Discriminator, dict]:
+def load_tf_discriminator(source, disc_prior=None
+                          ) -> Tuple[Discriminator, dict]:
     """Reference Keras discriminator -> (module, params); wf / 2D-3D
     inferred (3D: 9 weight groups starting at down1; 2D: 7 starting at the
-    16-wide hack conv — the reference 2D model never materializes down1)."""
-    groups = _conv_weight_groups(source)
+    16-wide hack conv — the reference 2D model never materializes down1).
+
+    ``disc_prior``: for a discriminator built WITH a prior (reference
+    discriminator.py:62-70), pass the same frozen feature extractor; the
+    prior sub-model's weights are frozen in the Keras asset and are
+    excluded from the slot mapping (they ride the callable instead), while
+    the post-concat convs keep their prior-widened shapes."""
+    groups = _conv_weight_groups(source, trainable_only=disc_prior is not None)
     if not groups:
         raise ValueError("no conv weight groups found in the Keras model")
     first = groups[0][1][0]
@@ -257,7 +281,7 @@ def load_tf_discriminator(source) -> Tuple[Discriminator, dict]:
             raise ValueError("too few weight groups for a discriminator")
         wf = 256 // int(groups[1][1][0].shape[-1])  # down2 conv = 256//wf
         slots = DISC_SLOTS_2D
-    disc = Discriminator(is3d=is3d, wf=wf)
+    disc = Discriminator(is3d=is3d, wf=wf, disc_prior=disc_prior)
     params = _concretize(_template_params(disc, is3d, 40))
     return disc, assign_weights(params, slots, groups)
 
@@ -311,13 +335,23 @@ def _ckpt_legacy(rd, keys, name):
     of those indices restores build order), Adam slots at the weight path +
     '.OPTIMIZER_SLOT/<name>_optimizer/{m,v}', step at '<name>_optimizer/
     iter'.  Slot association rides the weight path, so it is robust to any
-    nesting; per-slot shape checks downstream guard the ordering."""
+    nesting; per-slot shape checks downstream guard the ordering.
+
+    Only weights WITH an Adam m slot are extracted: a frozen ``disc_prior``
+    sub-model's weights live in the object graph too (the prior Keras model
+    is a tracked layer of discriminator_y) but, being non-trainable, get no
+    optimizer slots — the same trainables-only contract the Keras-3 layout
+    gives for free via ``_trainable_variables``."""
     import re
     suffix = "/.ATTRIBUTES/VARIABLE_VALUE"
+    slot = lambda k, s: k[:-len(suffix)] + \
+        f"/.OPTIMIZER_SLOT/{name}_optimizer/{s}" + suffix
+    keyset = set(keys)
     wkeys = [k for k in keys
              if k.startswith(name + "/") and ".OPTIMIZER_SLOT" not in k
              and (k.endswith("/kernel" + suffix)
-                  or k.endswith("/bias" + suffix))]
+                  or k.endswith("/bias" + suffix))
+             and slot(k, "m") in keyset]
 
     def order(k):
         nums = tuple(int(n) for n in re.findall(r"layer_with_weights-(\d+)",
@@ -326,15 +360,13 @@ def _ckpt_legacy(rd, keys, name):
 
     wkeys.sort(key=order)
     ws = [rd.get_tensor(k) for k in wkeys]
-    slot = lambda k, s: k[:-len(suffix)] + \
-        f"/.OPTIMIZER_SLOT/{name}_optimizer/{s}" + suffix
     ms = [rd.get_tensor(slot(k, "m")) for k in wkeys]
     vs = [rd.get_tensor(slot(k, "v")) for k in wkeys]
     it = int(rd.get_tensor(f"{name}_optimizer/iter" + suffix))
     return ws, ms, vs, it
 
 
-def load_reference_checkpoint(ckpt_path: str):
+def load_reference_checkpoint(ckpt_path: str, disc_prior=None):
     """Reference ``tf.train.Checkpoint`` (cgan.py:86-95) -> full
     ``CycleGANState``: all 4 models' weights AND the 4 Adam optimizers'
     m/v slots + step counts, so a reference training RUN continues here
@@ -347,9 +379,15 @@ def load_reference_checkpoint(ckpt_path: str):
     on-disk layouts are handled — the Keras-2-era object-graph layout the
     reference shipped against and the Keras-3 layout current TF writes —
     with per-slot shape checks (transposed-conv kernels and their m/v are
-    axis-swapped like all other imports in this module).  Checkpoints from
-    a ``disc_prior`` run fail those shape checks; import the models
-    individually in that case."""
+    axis-swapped like all other imports in this module).
+
+    ``disc_prior``: for a run trained WITH a prior (reference cgan.py:59
+    passes it to discriminator_y), pass the SAME frozen feature extractor —
+    e.g. ``create_prior_helper(prior.h5, "down1")`` on the original prior
+    model — so discriminator_y's post-concat conv shapes match.  The
+    prior's own (frozen) weights ride the callable, not the checkpoint:
+    they carry no Adam slots, and both layout extractors return trainables
+    only."""
     import tensorflow as tf
     if os.path.isdir(ckpt_path):
         latest = tf.train.latest_checkpoint(ckpt_path)
@@ -382,14 +420,26 @@ def load_reference_checkpoint(ckpt_path: str):
     wf = 64 // int(stem.shape[-1])
     gen = UNetGenerator(wf=wf)
     disc = Discriminator(is3d=is3d, wf=wf)
+    # The prior widens disc_y's post-concat convs (reference
+    # discriminator.py:62-70); disc_x never carries one (cgan.py:58-59).
+    disc_y_mod = Discriminator(is3d=is3d, wf=wf, disc_prior=disc_prior)
     disc_slots = DISC_SLOTS_3D if is3d else DISC_SLOTS_2D
 
     def convert(name, module, slots, dimsize):
         ws, ms, vs, it = per_model[name]
         tmpl = _concretize(_template_params(module, is3d, dimsize))
-        params = assign_weights(tmpl, slots, _group_arrays(ws))
-        mu = assign_weights(tmpl, slots, _group_arrays(ms))
-        nu = assign_weights(tmpl, slots, _group_arrays(vs))
+        try:
+            params = assign_weights(tmpl, slots, _group_arrays(ws))
+            mu = assign_weights(tmpl, slots, _group_arrays(ms))
+            nu = assign_weights(tmpl, slots, _group_arrays(vs))
+        except ValueError as e:
+            if name == "discriminator_y":
+                raise ValueError(
+                    f"{e} — discriminator_y's shapes depend on its "
+                    "disc_prior: a run trained with one needs the same "
+                    "frozen prior callable passed as disc_prior= (and one "
+                    "trained without must not pass one)") from e
+            raise
         to_jnp = lambda t: jax.tree.map(jnp.asarray, t)
         opt = optax.ScaleByAdamState(
             count=jnp.asarray(it, jnp.int32),
@@ -399,7 +449,7 @@ def load_reference_checkpoint(ckpt_path: str):
     gg, opt_gg, it = convert("generator_g", gen, GEN_SLOTS, 74)
     gf, opt_gf, _ = convert("generator_f", gen, GEN_SLOTS, 74)
     dx, opt_dx, _ = convert("discriminator_x", disc, disc_slots, 40)
-    dy, opt_dy, _ = convert("discriminator_y", disc, disc_slots, 40)
+    dy, opt_dy, _ = convert("discriminator_y", disc_y_mod, disc_slots, 40)
 
     from .train.state import CycleGANState
     state = CycleGANState(step=jnp.asarray(it, jnp.int32),

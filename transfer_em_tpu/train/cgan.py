@@ -553,16 +553,25 @@ class EM2EM:
 
     @classmethod
     def from_reference_checkpoint(cls, ckpt_path: str, exp_name: str,
-                                  dimsize: int = 74, **kwargs) -> "EM2EM":
+                                  dimsize: int = 74,
+                                  disc_prior: Optional[Callable] = None,
+                                  **kwargs) -> "EM2EM":
         """Continue a REFERENCE training run here: build an EM2EM whose
         parameters AND Adam optimizer slots/step come from a reference
         ``tf.train.Checkpoint`` (reference cgan.py:86-103; conversion in
         compat.load_reference_checkpoint — both TF checkpoint layouts).
         ``wf``/2D-3D are inferred from the weights; remaining kwargs pass
-        through to ``__init__`` (checkpoint_root, compute_dtype, ...)."""
+        through to ``__init__`` (checkpoint_root, compute_dtype, ...).
+
+        ``disc_prior``: if the run was trained with one (reference
+        cgan.py:59), pass the same frozen feature extractor — e.g.
+        ``create_prior_helper(prior.h5, "down1")`` on the original prior
+        model; it reconstructs discriminator_y's post-concat shapes and
+        rides along into the new model."""
         from ..compat import load_reference_checkpoint
-        state, wf, is3d = load_reference_checkpoint(ckpt_path)
-        model = cls(dimsize, exp_name, is3d=is3d, wf=wf, **kwargs)
+        state, wf, is3d = load_reference_checkpoint(ckpt_path, disc_prior)
+        model = cls(dimsize, exp_name, is3d=is3d, wf=wf,
+                    disc_prior=disc_prior, **kwargs)
         if model._ckpt_mgr.latest_step() is not None:
             raise ValueError(
                 f"experiment {exp_name!r} already has checkpoints at "
