@@ -699,6 +699,18 @@ def test_from_reference_checkpoint_with_disc_prior(tmp_path, monkeypatch):
             ckdir, "migrated_noprior",
             checkpoint_root=str(tmp_path / "ours_np"))
 
+    # A WRONG prior of the right architecture (fresh init, same shapes)
+    # must be refused via the cross-check against the frozen prior weights
+    # the checkpoint itself stores — not imported silently.
+    wrong_model, _ = _load_reference_generator(is3d=False, wf=2)
+    wrong_h5 = str(tmp_path / "wrong_prior.h5")
+    wrong_model.save(wrong_h5)
+    with pytest.raises(ValueError, match="disc_prior mismatch"):
+        EM2EM.from_reference_checkpoint(
+            ckdir, "migrated_wrongprior",
+            disc_prior=create_prior_helper(wrong_h5, "down1"),
+            checkpoint_root=str(tmp_path / "ours_wp"))
+
     prior = create_prior_helper(prior_h5, "down1")  # our equivalent tap
     model = EM2EM.from_reference_checkpoint(
         ckdir, "migrated_prior", disc_prior=prior,
@@ -775,12 +787,6 @@ def test_load_reference_checkpoint_legacy_layout(tmp_path, monkeypatch):
             tensors += [w, m, v]
         names.append(f"{name}_optimizer/iter{suffix}")
         tensors.append(np.asarray(it, np.int64))
-    # A frozen prior-like weight (kernel with NO Adam slots, like a
-    # disc_prior sub-model's) must be ignored by the legacy extractor —
-    # the trainables-only contract the modern layout gives for free.
-    names.append("discriminator_y/layer_with_weights-2/"
-                 f"layer_with_weights-0/kernel{suffix}")
-    tensors.append(np.full((3, 3, 1, 16), 7.0, np.float32))
     prefix = str(tmp_path / "legacy" / "ckpt-1")
     (tmp_path / "legacy").mkdir()
     tf.raw_ops.SaveV2(prefix=prefix, tensor_names=names,
@@ -792,3 +798,18 @@ def test_load_reference_checkpoint_legacy_layout(tmp_path, monkeypatch):
     for a, b in zip(jax.tree.leaves(modern_state),
                     jax.tree.leaves(legacy_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # A frozen prior-like weight (kernel with NO Adam slots, like a
+    # disc_prior sub-model's) is detected by the legacy extractor too:
+    # loading without the matching disc_prior must refuse, not import a
+    # model that silently diverges from the run.
+    names.append("discriminator_y/layer_with_weights-2/"
+                 f"layer_with_weights-0/kernel{suffix}")
+    tensors.append(np.full((3, 3, 1, 16), 7.0, np.float32))
+    prefix2 = str(tmp_path / "legacy_prior" / "ckpt-1")
+    (tmp_path / "legacy_prior").mkdir()
+    tf.raw_ops.SaveV2(prefix=prefix2, tensor_names=names,
+                      shape_and_slices=[""] * len(names),
+                      tensors=[tf.constant(t) for t in tensors])
+    with pytest.raises(ValueError, match="disc_prior"):
+        compat.load_reference_checkpoint(prefix2)

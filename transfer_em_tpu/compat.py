@@ -317,6 +317,10 @@ def _ckpt_modern(rd, keys, name):
         if m:
             sv[int(m.group(1))] = rd.get_tensor(k)
     ws = [tv[i] for i in range(len(tv))]
+    if not ws:
+        raise ValueError(
+            f"{name}: no weights under {pref!r}_trainable_variables — "
+            "checkpoint saved before the optimizer was built?")
     idx = sorted(sv)
     if len(idx) != 2 * len(ws):
         raise ValueError(
@@ -326,6 +330,67 @@ def _ckpt_modern(rd, keys, name):
     vs = [sv[idx[2 * i + 1]] for i in range(len(ws))]
     it = int(rd.get_tensor(pref + "_iterations/.ATTRIBUTES/VARIABLE_VALUE"))
     return ws, ms, vs, it
+
+
+def _frozen_disc_y_arrays(rd, keys) -> List[np.ndarray]:
+    """Weights of discriminator_y's FROZEN sub-model (its ``disc_prior``,
+    reference cgan.py:21-29 / discriminator.py:62-70) as stored in the
+    checkpoint, build order.  Both layouts keep them: the Keras-3 layout
+    stores non-trainables under the model's own object path
+    ('discriminator_y/_operations/.../_kernel'), the Keras-2-era layout
+    stores them like any weight but WITHOUT Adam .OPTIMIZER_SLOT keys
+    (frozen variables get no slots).  Empty list == no frozen sub-model
+    (the run was trained without a prior)."""
+    import re
+    suffix = "/.ATTRIBUTES/VARIABLE_VALUE"
+    keyset = set(keys)
+    out = []
+    # Keras-3: model-path keys exist only for variables the optimizer does
+    # not already track, i.e. exactly the frozen ones.
+    modern = [k for k in keys
+              if k.startswith("discriminator_y/")
+              and (k.endswith("/_kernel" + suffix)
+                   or k.endswith("/_bias" + suffix))]
+    modern.sort(key=lambda k: tuple(
+        int(n) for n in re.findall(r"_operations/(\d+)", k)))
+    out.extend(modern)
+    # Keras-2-era: weight keys with no Adam m slot.
+    slot = lambda k: (k[:-len(suffix)]
+                      + "/.OPTIMIZER_SLOT/discriminator_y_optimizer/m"
+                      + suffix)
+    legacy = [k for k in keys
+              if k.startswith("discriminator_y/")
+              and ".OPTIMIZER_SLOT" not in k
+              and (k.endswith("/kernel" + suffix)
+                   or k.endswith("/bias" + suffix))
+              and slot(k) not in keyset]
+    legacy.sort(key=lambda k: tuple(
+        int(n) for n in re.findall(r"layer_with_weights-(\d+)", k)))
+    out.extend(legacy)
+    return [rd.get_tensor(k) for k in out]
+
+
+def _check_prior_matches(frozen: Sequence[np.ndarray], disc_prior) -> None:
+    """Cross-check a passed ``disc_prior`` against the frozen prior weights
+    the checkpoint itself stores: a retrained / wrong prior with identical
+    architecture would otherwise import silently and diverge from the run
+    it claims to continue.  Priors built by this package (``_tap_prior``)
+    expose ``.params``; opaque callables are skipped (nothing to compare)."""
+    tree = getattr(disc_prior, "params", None)
+    if tree is None or not frozen:
+        return
+    leaves = [np.asarray(l) for l in jax.tree.leaves(tree)]
+    for i, arr in enumerate(frozen):
+        arr = np.asarray(arr)
+        cands = [arr] if arr.ndim < 4 else [arr, np.swapaxes(arr, -1, -2)]
+        if not any(l.shape == c.shape and np.allclose(l, c, atol=1e-6)
+                   for l in leaves for c in cands):
+            raise ValueError(
+                f"disc_prior mismatch: frozen prior weight {i} (shape "
+                f"{arr.shape}) stored in the checkpoint matches no "
+                "parameter of the passed disc_prior — wrong prior model? "
+                "Pass the same frozen prior the run was trained with "
+                "(reference cgan.py:21-29)")
 
 
 def _ckpt_legacy(rd, keys, name):
@@ -347,11 +412,21 @@ def _ckpt_legacy(rd, keys, name):
     slot = lambda k, s: k[:-len(suffix)] + \
         f"/.OPTIMIZER_SLOT/{name}_optimizer/{s}" + suffix
     keyset = set(keys)
-    wkeys = [k for k in keys
+    cands = [k for k in keys
              if k.startswith(name + "/") and ".OPTIMIZER_SLOT" not in k
              and (k.endswith("/kernel" + suffix)
-                  or k.endswith("/bias" + suffix))
-             and slot(k, "m") in keyset]
+                  or k.endswith("/bias" + suffix))]
+    wkeys = [k for k in cands if slot(k, "m") in keyset]
+    if cands and not wkeys:
+        # Don't degrade into a misleading "0 weight groups" error below:
+        # a checkpoint saved before the first optimizer step (Keras Adam
+        # creates m/v slots lazily in apply_gradients) or with a different
+        # optimizer node name has weights but no slots.
+        raise ValueError(
+            f"{name}: found {len(cands)} weights but none has an Adam "
+            f"slot at e.g. {slot(cands[0], 'm')!r} — checkpoint saved "
+            f"before any training step, or a non-'{name}_optimizer' "
+            "optimizer name?")
 
     def order(k):
         nums = tuple(int(n) for n in re.findall(r"layer_with_weights-(\d+)",
@@ -385,9 +460,10 @@ def load_reference_checkpoint(ckpt_path: str, disc_prior=None):
     passes it to discriminator_y), pass the SAME frozen feature extractor —
     e.g. ``create_prior_helper(prior.h5, "down1")`` on the original prior
     model — so discriminator_y's post-concat conv shapes match.  The
-    prior's own (frozen) weights ride the callable, not the checkpoint:
-    they carry no Adam slots, and both layout extractors return trainables
-    only."""
+    prior's own (frozen) weights ride the callable; the copies the
+    checkpoint stores (slot-less) are not imported but ARE cross-checked
+    against the passed prior, so a wrong prior of the right architecture
+    is refused instead of silently diverging from the run."""
     import tensorflow as tf
     if os.path.isdir(ckpt_path):
         latest = tf.train.latest_checkpoint(ckpt_path)
@@ -406,6 +482,19 @@ def load_reference_checkpoint(ckpt_path: str, disc_prior=None):
             "not a reference EM2EM checkpoint (no generator_g weights in "
             "either the Keras-2 or Keras-3 layout); keys start with: "
             f"{sorted({k.split('/')[0] for k in keys})}")
+
+    # The checkpoint itself records whether the run used a disc_prior: the
+    # prior's frozen weights are saved with discriminator_y (under the model
+    # object path in the Keras-3 layout; slot-less in the Keras-2-era one).
+    frozen = _frozen_disc_y_arrays(rd, keys)
+    if frozen and disc_prior is None:
+        raise ValueError(
+            f"checkpoint stores {len(frozen)} frozen prior weights under "
+            "discriminator_y — the run was trained WITH a disc_prior "
+            "(reference cgan.py:59) — but none was passed; rebuild the "
+            "run's frozen prior (e.g. create_prior_helper(prior.h5, "
+            "last_layer)) and pass it as disc_prior=")
+    _check_prior_matches(frozen, disc_prior)
 
     import jax.numpy as jnp
     import optax

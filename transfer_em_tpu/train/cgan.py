@@ -90,6 +90,9 @@ def _tap_prior(gen, params, last_layer: str):
             out = out[0]
         return jax.lax.stop_gradient(out)
 
+    # Exposed so imports can cross-check a checkpoint's own stored frozen
+    # prior weights against this prior (compat._check_prior_matches).
+    prior.params = frozen
     return prior
 
 
