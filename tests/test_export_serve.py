@@ -191,6 +191,68 @@ def test_model_service_mesh_matches_single_device(exported, volume,
     assert outs["mesh"] == outs["single"]
 
 
+def test_model_service_cross_request_batching(exported, volume, data_service,
+                                               tmp_path):
+    """Concurrent chunk requests against one ModelService share device
+    batches (infer/batcher.py): each 64^3 chunk is 8 tiles, so two requests
+    landing inside the linger window must produce at least one batch larger
+    than a single request's tile count.  Outputs stay byte-identical to the
+    unbatched service, and GET /stats exposes the occupancy counters."""
+    import concurrent.futures as cf
+
+    d, gen, params, meta = exported
+    root = tmp_path / "models"
+    os.makedirs(root / "m1", exist_ok=True)
+    os.symlink(d, root / "m1" / "v1")
+
+    # Reference outputs from a batcher-less service.
+    svc0 = ModelService(model_root=str(root), cross_batch=False)
+    svc0.start()
+    want = {}
+    try:
+        for tag, start in (("a", (64, 64, 64)), ("b", (0, 0, 0))):
+            dest = tmp_path / f"ref_{tag}"
+            predict_chunk(svc0.url, "testbucket/vol", start=start,
+                          size=(64, 64, 64), model_name="m1:v1",
+                          dest=str(dest))
+            (name,) = os.listdir(dest)
+            want[tag] = gzip.decompress(open(dest / name, "rb").read())
+        # Without a batcher /stats still answers (no batcher counters).
+        s0 = json.loads(urllib.request.urlopen(svc0.url + "/stats").read())
+        assert s0["model"] == "m1:v1" and "batcher" not in s0
+    finally:
+        svc0.stop()
+
+    # Generous linger so both requests' tiles reliably share the window.
+    svc = ModelService(model_root=str(root), linger_ms=2000.0)
+    svc.start()
+    try:
+        def request(tag, start):
+            dest = tmp_path / f"xb_{tag}"
+            predict_chunk(svc.url, "testbucket/vol", start=start,
+                          size=(64, 64, 64), model_name="m1:v1",
+                          dest=str(dest))
+            (name,) = os.listdir(dest)
+            return tag, gzip.decompress(open(dest / name, "rb").read())
+
+        with cf.ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [ex.submit(request, "a", (64, 64, 64)),
+                    ex.submit(request, "b", (0, 0, 0))]
+            got = dict(f.result(timeout=600) for f in futs)
+        assert got["a"] == want["a"] and got["b"] == want["b"]
+
+        s = json.loads(urllib.request.urlopen(svc.url + "/stats").read())
+        assert s["model"] == "m1:v1"
+        b = s["batcher"]
+        assert b["tiles"] == 16
+        assert b["largest"] > 8, b  # tiles from BOTH requests in one batch
+        assert 0 < b["occupancy"] <= 1
+    finally:
+        svc.stop()
+    # stop() closed the cache (and its batcher): the cache is empty again.
+    assert svc.cache.stats() == {"model": None}
+
+
 def test_model_service_rejects_unaligned(exported, tmp_path, volume):
     root = tmp_path / "models"
     os.makedirs(root / "m1", exist_ok=True)

@@ -1,3 +1,4 @@
+from .batcher import TileBatcher, make_tile_batcher
 from .export import (export_generator, load_generator,
                      predict_cube_from_saved_model, save_model)
 from .tiling import (TilePlan, make_tile_step, plan_tiles, predict_ng_cube,
@@ -7,6 +8,7 @@ __all__ = [
     "export_generator", "load_generator", "predict_cube_from_saved_model",
     "save_model", "TilePlan", "make_tile_step", "plan_tiles",
     "predict_ng_cube", "predict_tiled", "scatter_tiles",
+    "TileBatcher", "make_tile_batcher",
 ]
 
 from .slab import slab_predict  # noqa: E402

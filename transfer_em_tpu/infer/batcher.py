@@ -1,0 +1,226 @@
+"""Cross-request tile batching: coalesce concurrent serving requests into
+shared device batches.
+
+The measured serving lesson (PERF.md): at the reference's wf=8 widths the
+convs are per-kernel-overhead-bound, so device batch is the dominant
+throughput lever (B=8 ~32 Mvox/s vs B=128 ~223 Mvox/s on v5e).  The
+reference's production scale-out pattern is many CONCURRENT 64-aligned chunk
+requests against the model service (model_cloudrun/transferem.py:66-73 —
+Cloud Run fan-out, one cached model, each request predicting its own chunk
+serially).  One 64^3 chunk is only 8 tiles (outdimsize 36), so independent
+requests run tiny device batches and leave most of the throughput on the
+floor.
+
+``TileBatcher`` is the TPU-first fix: ONE device-owning worker thread gathers
+tiles from all concurrent requests into shared batches (up to ``max_batch``,
+with a short ``linger_ms`` wait for stragglers), pads to power-of-two bucket
+sizes so only a handful of program shapes ever compile, runs the fused
+uint8->uint8 tile step, and resolves each tile's Future.  Results are
+bit-identical to unbatched serving (the tile step is batch-independent);
+``serve.ModelService`` uses it by default and exposes the occupancy counters
+at ``GET /stats``.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import dataclasses
+import queue
+import threading
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+_CLOSE = object()
+
+
+@dataclasses.dataclass
+class _Item:
+    tile: np.ndarray
+    future: cf.Future
+
+
+class TileBatcher:
+    """Coalesces uint8 tiles submitted from many threads into shared device
+    batches executed by one worker thread.
+
+    Args:
+      step: the fused device step from ``infer.tiling.make_tile_step`` —
+        ``(B, insize, insize, insize) uint8 -> (B, out, out, out) uint8``.
+        Called with numpy batches; per-batch-shape jit compilation is the
+        step's own business (bucketing below bounds the shape count).
+      insize: expected tile side, or None to accept any (callers such as
+        ``predict_tiled`` validate their plan against it when set).
+      max_batch: device batch ceiling (128 is the measured v5e sweet spot).
+      linger_ms: after the first tile of a batch arrives, wait at most this
+        long for more before dispatching.  5 ms default — well under the
+        ~28 ms per-dispatch latency it saves, invisible next to a request's
+        fetch time.
+      min_bucket / multiple: batches are zero-padded up to
+        ``max(min_bucket, next_pow2(k))`` rounded to a multiple of
+        ``multiple`` (the mesh's data-axis size when sharded), so at most
+        ``log2(max_batch / min_bucket) + 1`` program shapes ever compile.
+    """
+
+    def __init__(self, step: Callable, *, insize: Optional[int] = None,
+                 max_batch: int = 128, linger_ms: float = 5.0,
+                 min_bucket: int = 8, multiple: int = 1,
+                 outdimsize: Optional[int] = None,
+                 buffer: Optional[int] = None):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1 (got {max_batch})")
+        self._step = step
+        self.insize = insize
+        # Effective (post multiple-of-6 fold) plan geometry, when known.
+        # insize alone cannot validate a caller's plan: e.g. (outdimsize 34,
+        # buffer 20) folds to 30+2*22 = 74 = the (40, 17) -> 36+2*19 insize,
+        # but its step emits 30^3 tiles that would mis-stitch a 36^3 plan.
+        self.outdimsize = outdimsize
+        self.buffer = buffer
+        self.max_batch = int(max_batch)
+        self._linger = float(linger_ms) / 1000.0
+        self._min_bucket = max(1, int(min_bucket))
+        self._multiple = max(1, int(multiple))
+        self._q: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()
+        self._closed = False
+        self._stats = {"batches": 0, "tiles": 0, "padded": 0, "largest": 0}
+        self._thread = threading.Thread(target=self._worker, daemon=True,
+                                        name="TileBatcher")
+        self._thread.start()
+
+    # -- client side -------------------------------------------------------
+
+    def submit(self, tile_u8: np.ndarray) -> cf.Future:
+        """Queue one uint8 tile; the Future resolves to its predicted
+        (trimmed, uint8, zyx) output tile."""
+        if self._closed:
+            raise RuntimeError("TileBatcher is closed")
+        tile = np.asarray(tile_u8, np.uint8)
+        if self.insize is not None and tile.shape != (self.insize,) * 3:
+            raise ValueError(
+                f"tile shape {tile.shape} != expected "
+                f"{(self.insize,) * 3} — this batcher was built for a "
+                "different tile plan (outdimsize/buffer)")
+        fut: cf.Future = cf.Future()
+        self._q.put(_Item(tile, fut))
+        return fut
+
+    def stats(self) -> dict:
+        """Counters: batches run, tiles served, zero-pad slots, largest
+        batch, and occupancy = tiles / (tiles + padded)."""
+        with self._lock:
+            s = dict(self._stats)
+        total = s["tiles"] + s["padded"]
+        s["occupancy"] = (s["tiles"] / total) if total else 1.0
+        return s
+
+    def close(self):
+        """Drain and stop the worker.  Idempotent; pending tiles still
+        resolve, submits after close raise."""
+        with self._lock:
+            if self._closed:
+                if self._thread.is_alive():
+                    self._thread.join(timeout=30)
+                return
+            self._closed = True
+        self._q.put(_CLOSE)
+        self._thread.join(timeout=30)
+
+    # -- worker side -------------------------------------------------------
+
+    def _bucket(self, k: int) -> int:
+        b = self._min_bucket
+        while b < k:
+            b *= 2
+        b = min(max(b, k), max(self.max_batch, k))
+        return -(-b // self._multiple) * self._multiple
+
+    def _gather(self, first: _Item):
+        """First tile in hand: wait up to linger for more, then take
+        whatever else is already queued, up to max_batch."""
+        batch = [first]
+        deadline = time.monotonic() + self._linger
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            try:
+                if remaining > 0:
+                    item = self._q.get(timeout=remaining)
+                else:
+                    item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is _CLOSE:
+                self._q.put(_CLOSE)  # re-deliver to the outer loop
+                break
+            batch.append(item)
+        return batch
+
+    def _run(self, batch):
+        # Group by shape (insize=None accepts mixed tile plans); zero-pad
+        # each group to its bucket so only a few program shapes compile.
+        groups: dict = {}
+        for item in batch:
+            groups.setdefault(item.tile.shape, []).append(item)
+        for shape, grp in groups.items():
+            k = len(grp)
+            bucket = self._bucket(k)
+            arr = np.zeros((bucket,) + shape, np.uint8)
+            for i, item in enumerate(grp):
+                arr[i] = item.tile
+            try:
+                pred = np.asarray(self._step(arr))
+            except BaseException as e:  # noqa: BLE001 — must not hang callers
+                for item in grp:
+                    item.future.set_exception(e)
+                continue
+            for i, item in enumerate(grp):
+                item.future.set_result(pred[i])
+            with self._lock:
+                self._stats["batches"] += 1
+                self._stats["tiles"] += k
+                self._stats["padded"] += bucket - k
+                self._stats["largest"] = max(self._stats["largest"], k)
+
+    def _worker(self):
+        while True:
+            item = self._q.get()
+            if item is _CLOSE:
+                return
+            self._run(self._gather(item))
+
+
+def make_tile_batcher(gen_apply: Callable, params, meanstd_x, meanstd_y,
+                      outdimsize: int, buffer: int, *, mesh=None,
+                      sharding=None, max_batch: int = 128,
+                      linger_ms: float = 5.0,
+                      min_bucket: int = 8) -> TileBatcher:
+    """Build a TileBatcher around one model's fused tile step.
+
+    Takes the same (outdimsize, buffer) the model's meta.json records
+    (reference utils.py:158-166); the multiple-of-6 trim / tpad fold
+    (reference utils.py:70-75) is applied here exactly as ``plan_tiles``
+    applies it, so the batcher serves any ``predict_tiled`` request for this
+    model.  ``mesh``: shard every batch over the mesh's 'data' axis
+    (bucket sizes round up to the axis size).
+    """
+    from jax import numpy as jnp
+
+    from ..shapes import tile_plan_outdimsize
+    from .tiling import data_sharding, make_tile_step
+
+    multiple = 1
+    if mesh is not None:
+        if sharding is not None:
+            raise ValueError("pass either mesh= or sharding=, not both")
+        sharding = data_sharding(mesh)
+        multiple = int(mesh.shape["data"])
+    eff_out, eff_buf, tpad = tile_plan_outdimsize(outdimsize, buffer)
+    step = make_tile_step(gen_apply, params, meanstd_x, meanstd_y, tpad,
+                          sharding)
+    dev_step = lambda arr: step(jnp.asarray(arr))
+    return TileBatcher(dev_step, insize=eff_out + 2 * eff_buf,
+                       max_batch=max_batch, linger_ms=linger_ms,
+                       min_bucket=min_bucket, multiple=multiple,
+                       outdimsize=eff_out, buffer=eff_buf)

@@ -150,6 +150,7 @@ def predict_tiled(
         sharding=None,
         fetch_threads: int = 8,
         mesh=None,
+        batcher=None,
 ) -> np.ndarray | Tuple[np.ndarray, np.ndarray]:
     """Full tiled inference: fetch -> batched jitted predict -> stitch -> crop.
 
@@ -160,6 +161,12 @@ def predict_tiled(
       mesh: optional Mesh with a 'data' axis — each tile batch is sharded
         across it (batch_size is rounded up to a multiple of the axis size).
         ``sharding`` accepts a prebuilt NamedSharding instead.
+      batcher: optional ``infer.batcher.TileBatcher`` — tiles are submitted
+        to it as they are fetched and may share device batches with OTHER
+        concurrent requests against the same model (the serving fast path;
+        results are bit-identical).  The batcher carries its own step,
+        sharding, and batch sizing, so gen_apply/params/mesh/batch_size are
+        unused for compute.
     Returns:
       zyx uint8 array of ``size`` (and the input volume if fetch_input).
     """
@@ -173,6 +180,17 @@ def predict_tiled(
         batch_size = -(-batch_size // ndev) * ndev
 
     plan = plan_tiles(start, size, outdimsize, buffer)
+    if batcher is not None:
+        for attr, planned in (("insize", plan.insize),
+                              ("outdimsize", plan.outdimsize),
+                              ("buffer", plan.buffer)):
+            built = getattr(batcher, attr, None)
+            if built is not None and built != planned:
+                raise ValueError(
+                    f"batcher was built for {attr}={built}, this request "
+                    f"plans {planned} — outdimsize/buffer mismatch")
+        return _predict_tiled_batched(batcher, fetch_tile, plan,
+                                      fetch_input, fetch_threads)
     step = make_tile_step(gen_apply, params, meanstd_x, meanstd_y, plan.tpad,
                           sharding)
 
@@ -222,16 +240,60 @@ def predict_tiled(
     return res
 
 
+def _predict_tiled_batched(batcher, fetch_tile, plan: TilePlan,
+                           fetch_input: bool, fetch_threads: int):
+    """predict_tiled's compute loop when a shared TileBatcher owns the
+    device: submit tiles as they are fetched, scatter as futures resolve.
+    In-flight tiles are capped at 4 batches' worth so a slow device bounds
+    host RAM the same way the unbatched path's flush() does."""
+    from collections import deque
+
+    from ..data.sources import _parallel_fetch
+
+    out = np.zeros(plan.padded_size, np.uint8)
+    in_out = np.zeros(plan.padded_size, np.uint8) if fetch_input else None
+    lo, hi = plan.buffer, plan.buffer + plan.outdimsize
+
+    pending: deque = deque()
+
+    def drain(n):
+        for _ in range(n):
+            fut, idx, tin = pending.popleft()
+            pred = fut.result()
+            scatter_tiles(out, pred[None], [idx], plan.outdimsize)
+            if fetch_input:
+                scatter_tiles(in_out, tin[None], [idx], plan.outdimsize)
+
+    fetched = _parallel_fetch(iter(plan.corners),
+                              lambda c: fetch_tile(c, plan.insize),
+                              fetch_threads)
+    cap = 4 * batcher.max_batch
+    for tile, idx in zip(fetched, plan.indices):
+        t = np.asarray(tile, np.uint8)
+        tin = t[lo:hi, lo:hi, lo:hi] if fetch_input else None
+        pending.append((batcher.submit(t), idx, tin))
+        if len(pending) > cap:
+            drain(len(pending) - cap)
+    drain(len(pending))
+
+    sx, sy, sz = plan.size
+    res = out[:sz, :sy, :sx]
+    if fetch_input:
+        return in_out[:sz, :sy, :sx], res
+    return res
+
+
 def predict_ng_cube(location: str, start, size, model, meanstd_x, meanstd_y,
                     cloudrun: Optional[str] = None, fetch_input: bool = False,
                     outdimsize: Optional[int] = None,
                     buffer: Optional[int] = None,
-                    batch_size: int = 8, mesh=None):
+                    batch_size: int = 8, mesh=None, batcher=None):
     """API-parity tiled inference from ng-precomputed (reference utils.py:41).
 
     ``model``: an EM2EM instance (uses generator G) or a (gen_apply, params)
     pair with explicit outdimsize/buffer.  ``mesh``: fan tile batches out
-    data-parallel over a Mesh 'data' axis (see predict_tiled).
+    data-parallel over a Mesh 'data' axis (see predict_tiled).  ``batcher``:
+    share device batches with concurrent requests (see predict_tiled).
     """
     from ..data.sources import CloudRunFetcher, open_tensorstore
 
@@ -264,4 +326,4 @@ def predict_ng_cube(location: str, start, size, model, meanstd_x, meanstd_y,
     return predict_tiled(fetch_tile, gen_apply, params, start, size,
                          outdimsize, buffer, meanstd_x, meanstd_y,
                          batch_size=batch_size, fetch_input=fetch_input,
-                         mesh=mesh)
+                         mesh=mesh, batcher=batcher)
