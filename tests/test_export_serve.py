@@ -191,6 +191,32 @@ def test_model_service_mesh_matches_single_device(exported, volume,
     assert outs["mesh"] == outs["single"]
 
 
+def test_predictor_cross_call_batching(exported, volume, data_service):
+    """Concurrent TransferEMPredictor.predict calls share device batches
+    (cross_batch default ON) and match the unbatched predictor exactly."""
+    import concurrent.futures as cf
+
+    d, gen, params, meta = exported
+    insts = [{"location": "testbucket/vol", "cloudrun": data_service.url,
+              "start": s, "size": (36, 36, 36)}
+             for s in ((40, 40, 40), (80, 80, 80))]
+
+    plain = TransferEMPredictor.from_path(d, cross_batch=False)
+    want = [plain.predict([i])[0] for i in insts]
+    assert plain._batcher is None  # cross_batch=False never builds one
+
+    pred = TransferEMPredictor.from_path(d)
+    try:
+        with cf.ThreadPoolExecutor(max_workers=2) as ex:
+            got = list(ex.map(lambda i: pred.predict([i])[0], insts))
+        assert got == want
+        assert pred._batcher is not None
+        assert pred._batcher.stats()["tiles"] == 2
+    finally:
+        pred.close()
+        pred.close()  # idempotent
+
+
 def test_model_service_cross_request_batching(exported, volume, data_service,
                                                tmp_path):
     """Concurrent chunk requests against one ModelService share device

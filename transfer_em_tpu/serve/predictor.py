@@ -24,32 +24,64 @@ from ..infer.tiling import predict_ng_cube
 
 
 class TransferEMPredictor:
-    """Base64 predictor (reference predict_service.py)."""
+    """Base64 predictor (reference predict_service.py).
 
-    def __init__(self, gen, params, meta):
+    ``cross_batch`` (default ON): concurrent ``predict`` calls against this
+    predictor share device batches via one lazily-created
+    ``infer.TileBatcher`` (see infer/batcher.py — bit-identical results).
+    The bound ``self._gen.apply`` also keys the jitted-tile-step cache
+    stably across calls (a per-call lambda would retrace every request)."""
+
+    def __init__(self, gen, params, meta, cross_batch: bool = True):
         self._gen = gen
         self._params = params
+        self._apply = gen.apply
         self.outdimsize = meta.outdimsize
         self.buffer = meta.buffer
         self.meanstd_x = meta.meanstd_x
         self.meanstd_y = meta.meanstd_y
+        self._cross_batch = cross_batch
+        self._batcher = None
+        import threading
+        self._lock = threading.Lock()
+
+    def _get_batcher(self):
+        if not self._cross_batch:
+            return None
+        with self._lock:
+            if self._batcher is None:
+                from ..infer.batcher import make_tile_batcher
+                self._batcher = make_tile_batcher(
+                    self._apply, self._params, self.meanstd_x,
+                    self.meanstd_y, self.outdimsize, self.buffer)
+            return self._batcher
+
+    def close(self):
+        """Stop the shared batcher's worker thread (idempotent)."""
+        with self._lock:
+            if self._batcher is not None:
+                self._batcher.close()
+                self._batcher = None
+
+    def _predict_cube(self, inst: dict) -> np.ndarray:
+        return predict_ng_cube(
+            inst["location"], tuple(inst["start"]), tuple(inst["size"]),
+            (self._apply, self._params),
+            self.meanstd_x, self.meanstd_y, inst.get("cloudrun"),
+            outdimsize=self.outdimsize, buffer=self.buffer,
+            batcher=self._get_batcher())
 
     def predict(self, instances: List[dict], **kwargs) -> List[bytes]:
         """One {location, cloudrun, start, size} instance -> [base64 bytes]."""
         if len(instances) != 1:
             raise RuntimeError("only one instance allowed")
-        inst = instances[0]
-        res = predict_ng_cube(
-            inst["location"], tuple(inst["start"]), tuple(inst["size"]),
-            (lambda p, x: self._gen.apply(p, x), self._params),
-            self.meanstd_x, self.meanstd_y, inst.get("cloudrun"),
-            outdimsize=self.outdimsize, buffer=self.buffer)
+        res = self._predict_cube(instances[0])
         return [base64.b64encode(np.ascontiguousarray(res))]
 
     @classmethod
-    def from_path(cls, model_dir: str) -> "TransferEMPredictor":
+    def from_path(cls, model_dir: str, **kwargs) -> "TransferEMPredictor":
         gen, params, meta = load_generator(model_dir)
-        return cls(gen, params, meta)
+        return cls(gen, params, meta, **kwargs)
 
 
 def write_ng_info(dest_dir_or_bucket, size_xyz, write_fn):
@@ -77,8 +109,9 @@ class NgOutputPredictor(TransferEMPredictor):
     URL (reference custom_online/predictor.py)."""
 
     def __init__(self, gen, params, meta, dest_root: str,
-                 viewer_base: str = "https://neuroglancer-demo.appspot.com"):
-        super().__init__(gen, params, meta)
+                 viewer_base: str = "https://neuroglancer-demo.appspot.com",
+                 cross_batch: bool = True):
+        super().__init__(gen, params, meta, cross_batch=cross_batch)
         self.dest_root = dest_root
         self.viewer_base = viewer_base
 
@@ -86,11 +119,7 @@ class NgOutputPredictor(TransferEMPredictor):
         if len(instances) != 1:
             raise RuntimeError("only one instance allowed")
         inst = instances[0]
-        vol_zyx = predict_ng_cube(
-            inst["location"], tuple(inst["start"]), tuple(inst["size"]),
-            (lambda p, x: self._gen.apply(p, x), self._params),
-            self.meanstd_x, self.meanstd_y, inst.get("cloudrun"),
-            outdimsize=self.outdimsize, buffer=self.buffer)
+        vol_zyx = self._predict_cube(inst)
 
         name = str(uuid.uuid4())
         from .model_service import write_ng_blocks
@@ -114,8 +143,9 @@ class NgOutputPredictor(TransferEMPredictor):
         return [url]
 
     @classmethod
-    def from_path(cls, model_dir: str, dest_root: Optional[str] = None
-                  ) -> "NgOutputPredictor":
+    def from_path(cls, model_dir: str, dest_root: Optional[str] = None,
+                  **kwargs) -> "NgOutputPredictor":
         gen, params, meta = load_generator(model_dir)
         return cls(gen, params, meta,
-                   dest_root or os.environ.get("NG_DEST", "./ng_out"))
+                   dest_root or os.environ.get("NG_DEST", "./ng_out"),
+                   **kwargs)
