@@ -64,11 +64,16 @@ def main():
     os.makedirs(os.path.join(root, "m"))
     export_generator(params, meta, os.path.join(root, "m", "v"))
 
-    # N_REQ disjoint 64-aligned chunk starts inside the volume.
+    # N_REQ disjoint 64-aligned chunk starts inside the volume (at most
+    # per_dim^3 fit; clamp rather than request beyond the volume's extent).
     per_dim = 256 // CHUNK
+    n_req = min(N_REQ, per_dim ** 3)
+    if n_req < N_REQ:
+        log(f"clamping BENCH_SERVE_REQS {N_REQ} -> {n_req} "
+            f"(only {per_dim}^3 disjoint chunks fit in 256^3)")
     starts = [(CHUNK * (i % per_dim), CHUNK * ((i // per_dim) % per_dim),
-               CHUNK * (i // per_dim ** 2)) for i in range(N_REQ)]
-    vox = N_REQ * CHUNK ** 3
+               CHUNK * (i // per_dim ** 2)) for i in range(n_req)]
+    vox = n_req * CHUNK ** 3
 
     def run_fleet(svc, tag):
         dest_root = tempfile.mkdtemp(prefix="bench_serve_out_")
@@ -78,8 +83,8 @@ def main():
                               size=(CHUNK,) * 3, model_name="m:v",
                               dest=os.path.join(dest_root, str(i)))
             t0 = time.perf_counter()
-            with cf.ThreadPoolExecutor(max_workers=N_REQ) as ex:
-                list(ex.map(req, range(N_REQ)))
+            with cf.ThreadPoolExecutor(max_workers=n_req) as ex:
+                list(ex.map(req, range(n_req)))
             return time.perf_counter() - t0
         finally:
             shutil.rmtree(dest_root, ignore_errors=True)
@@ -95,7 +100,7 @@ def main():
             times = [run_fleet(svc, tag) for _ in range(REPS)]
             best = min(times)
             results[tag] = best
-            log(f"{tag}: fleet of {N_REQ} x {CHUNK}^3 best {best:.2f}s "
+            log(f"{tag}: fleet of {n_req} x {CHUNK}^3 best {best:.2f}s "
                 f"({vox / best / 1e6:.1f} Mvox/s e2e)  all={['%.2f' % t for t in times]}")
             if kwargs["cross_batch"]:
                 import urllib.request

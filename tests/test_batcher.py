@@ -84,12 +84,105 @@ def test_tile_batcher_error_propagates_and_survives():
         bad = np.full((4, 4, 4), 99, np.uint8)
         with pytest.raises(RuntimeError, match="boom"):
             b.submit(bad).result(timeout=30)
-        # The worker survives a failing batch and keeps serving.
+        # The worker survives a failing batch and keeps serving; the
+        # failure is visible at /stats (errors counter), not hidden.
         good = np.full((4, 4, 4), 1, np.uint8)
         np.testing.assert_array_equal(b.submit(good).result(timeout=30),
                                       255 - good[1:-1, 1:-1, 1:-1])
+        s = b.stats()
+        assert s["errors"] == 1
+        assert s["tiles"] == 1  # only the successful tile counts
     finally:
         b.close()
+
+
+def test_tile_batcher_run_direct_after_close():
+    """run_direct is the graceful-degradation path for a request whose
+    batcher was closed under it (model-cache eviction / service stop)."""
+    b = TileBatcher(_fake_step, insize=6, max_batch=4, min_bucket=2)
+    t = np.arange(216, dtype=np.uint8).reshape(6, 6, 6)
+    via_queue = b.submit(t).result(timeout=30)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(t)
+    np.testing.assert_array_equal(b.run_direct(t), via_queue)
+
+
+def test_predict_tiled_closed_batcher_degrades(small_model, vol):
+    """A batcher closed before (or during) a request must not fail or hang
+    it: predict_tiled falls back to run_direct per tile, same bytes."""
+    gen, params = small_model
+    msx, msy = (0.1, 0.9), (0.2, 1.1)
+    args = (_fetch(vol), gen.apply, params, (64, 64, 64), (36, 36, 36),
+            40, 17, msx, msy)
+    want = predict_tiled(*args)
+    batcher = make_tile_batcher(gen.apply, params, msx, msy, 40, 17,
+                                max_batch=8, min_bucket=4)
+    batcher.close()
+    got = predict_tiled(*args, batcher=batcher)
+    np.testing.assert_array_equal(got, want)
+    assert batcher.stats()["tiles"] == 0  # everything went direct
+
+
+def test_tile_batcher_cancelled_future_skipped():
+    """A caller cancelling its pending future must not kill the worker
+    (set_result on a cancelled future raises InvalidStateError)."""
+    gate = threading.Event()
+    first = threading.Event()
+
+    def step(arr):
+        if not first.is_set():
+            first.set()
+            gate.wait(timeout=30)  # hold batch A so B stays queued
+        return _fake_step(arr)
+
+    b = TileBatcher(step, insize=4, max_batch=1, linger_ms=0.0, min_bucket=1)
+    try:
+        ta = np.full((4, 4, 4), 1, np.uint8)
+        tb = np.full((4, 4, 4), 2, np.uint8)
+        fa = b.submit(ta)
+        first.wait(timeout=30)       # worker is inside step(A)
+        fb = b.submit(tb)            # queued behind A
+        assert fb.cancel()           # still PENDING -> cancellable
+        gate.set()
+        np.testing.assert_array_equal(fa.result(timeout=30),
+                                      255 - ta[1:-1, 1:-1, 1:-1])
+        # Worker skipped the cancelled tile and keeps serving.
+        tc = np.full((4, 4, 4), 3, np.uint8)
+        np.testing.assert_array_equal(b.submit(tc).result(timeout=30),
+                                      255 - tc[1:-1, 1:-1, 1:-1])
+        s = b.stats()
+        assert s["tiles"] == 2 and s["errors"] == 0
+    finally:
+        gate.set()
+        b.close()
+
+
+def test_tile_batcher_submit_close_race_never_orphans():
+    """Every future handed out by submit() resolves, even with close()
+    racing the submitters (the sentinel and the closed-flag share a lock,
+    so no tile can land behind the sentinel and hang its caller)."""
+    for _ in range(20):
+        b = TileBatcher(_fake_step, insize=4, max_batch=8, linger_ms=0.5,
+                        min_bucket=1)
+        t = np.full((4, 4, 4), 5, np.uint8)
+        futs, stop = [], threading.Event()
+
+        def hammer():
+            while not stop.is_set():
+                try:
+                    futs.append(b.submit(t))
+                except RuntimeError:
+                    return
+
+        th = threading.Thread(target=hammer)
+        th.start()
+        b.close()
+        stop.set()
+        th.join(timeout=30)
+        for f in futs:  # accepted before the sentinel => must resolve
+            np.testing.assert_array_equal(f.result(timeout=30),
+                                          255 - t[1:-1, 1:-1, 1:-1])
 
 
 def test_tile_batcher_validation_and_close():

@@ -215,6 +215,10 @@ def test_predictor_cross_call_batching(exported, volume, data_service):
     finally:
         pred.close()
         pred.close()  # idempotent
+    # close() is terminal: later predicts run unbatched (no resurrected
+    # worker thread) and still answer correctly.
+    assert pred.predict([insts[0]])[0] == want[0]
+    assert pred._batcher is None
 
 
 def test_model_service_cross_request_batching(exported, volume, data_service,

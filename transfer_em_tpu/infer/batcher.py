@@ -85,7 +85,8 @@ class TileBatcher:
         self._q: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
         self._closed = False
-        self._stats = {"batches": 0, "tiles": 0, "padded": 0, "largest": 0}
+        self._stats = {"batches": 0, "tiles": 0, "padded": 0, "largest": 0,
+                       "errors": 0}
         self._thread = threading.Thread(target=self._worker, daemon=True,
                                         name="TileBatcher")
         self._thread.start()
@@ -94,9 +95,8 @@ class TileBatcher:
 
     def submit(self, tile_u8: np.ndarray) -> cf.Future:
         """Queue one uint8 tile; the Future resolves to its predicted
-        (trimmed, uint8, zyx) output tile."""
-        if self._closed:
-            raise RuntimeError("TileBatcher is closed")
+        (trimmed, uint8, zyx) output tile.  Raises RuntimeError once the
+        batcher is closed (callers fall back to :meth:`run_direct`)."""
         tile = np.asarray(tile_u8, np.uint8)
         if self.insize is not None and tile.shape != (self.insize,) * 3:
             raise ValueError(
@@ -104,8 +104,26 @@ class TileBatcher:
                 f"{(self.insize,) * 3} — this batcher was built for a "
                 "different tile plan (outdimsize/buffer)")
         fut: cf.Future = cf.Future()
-        self._q.put(_Item(tile, fut))
+        # The closed-check and the put share the lock close() takes to set
+        # _closed and enqueue the sentinel, so no tile can ever land AFTER
+        # the sentinel (a tile behind a dead worker would hang its caller).
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("TileBatcher is closed")
+            self._q.put(_Item(tile, fut))
         return fut
+
+    def run_direct(self, tile_u8: np.ndarray) -> np.ndarray:
+        """Run ONE tile synchronously on the caller's thread, bypassing the
+        queue.  Works after close() — the graceful-degradation path when
+        this batcher was closed under an in-flight request (model-cache
+        eviction, service shutdown); uses the same bucket shapes so no new
+        program compiles."""
+        tile = np.asarray(tile_u8, np.uint8)
+        bucket = self._bucket(1)
+        arr = np.zeros((bucket,) + tile.shape, np.uint8)
+        arr[0] = tile
+        return np.asarray(self._step(arr))[0]
 
     def stats(self) -> dict:
         """Counters: batches run, tiles served, zero-pad slots, largest
@@ -116,17 +134,20 @@ class TileBatcher:
         s["occupancy"] = (s["tiles"] / total) if total else 1.0
         return s
 
-    def close(self):
-        """Drain and stop the worker.  Idempotent; pending tiles still
-        resolve, submits after close raise."""
+    def close(self, wait: bool = True):
+        """Stop the worker.  Idempotent and safe from any thread: pending
+        tiles still resolve, submits after close raise (callers degrade to
+        :meth:`run_direct`).  ``wait=False`` returns immediately and lets
+        the daemon worker drain in the background (the model-cache eviction
+        path, which must not stall the evicting request)."""
         with self._lock:
-            if self._closed:
-                if self._thread.is_alive():
-                    self._thread.join(timeout=30)
-                return
-            self._closed = True
-        self._q.put(_CLOSE)
-        self._thread.join(timeout=30)
+            if not self._closed:
+                self._closed = True
+                self._q.put(_CLOSE)
+        # Join OUTSIDE the lock: the worker needs it for stats updates, so
+        # joining under it would deadlock the drain until the timeout.
+        if wait:
+            self._thread.join(timeout=30)
 
     # -- worker side -------------------------------------------------------
 
@@ -164,16 +185,28 @@ class TileBatcher:
         for item in batch:
             groups.setdefault(item.tile.shape, []).append(item)
         for shape, grp in groups.items():
+            # Claim each future first: a caller that cancel()ed its pending
+            # future drops out here, and set_result below can no longer
+            # raise InvalidStateError (which would kill the worker).
+            grp = [it for it in grp
+                   if it.future.set_running_or_notify_cancel()]
+            if not grp:
+                continue
             k = len(grp)
-            bucket = self._bucket(k)
-            arr = np.zeros((bucket,) + shape, np.uint8)
-            for i, item in enumerate(grp):
-                arr[i] = item.tile
+            # The WHOLE assembly+step is guarded: np.zeros can MemoryError
+            # just as the step can fail, and an unresolved future hangs its
+            # caller's drain — failures must reach the futures, always.
             try:
+                bucket = self._bucket(k)
+                arr = np.zeros((bucket,) + shape, np.uint8)
+                for i, item in enumerate(grp):
+                    arr[i] = item.tile
                 pred = np.asarray(self._step(arr))
             except BaseException as e:  # noqa: BLE001 — must not hang callers
                 for item in grp:
                     item.future.set_exception(e)
+                with self._lock:
+                    self._stats["errors"] += 1
                 continue
             for i, item in enumerate(grp):
                 item.future.set_result(pred[i])
@@ -188,7 +221,22 @@ class TileBatcher:
             item = self._q.get()
             if item is _CLOSE:
                 return
-            self._run(self._gather(item))
+            batch = self._gather(item)
+            try:
+                self._run(batch)
+            except BaseException as e:  # noqa: BLE001 — worker must survive
+                # _run already routes per-group failures to the futures;
+                # this guards anything outside those try blocks so the
+                # worker never dies silently (a dead worker hangs every
+                # later submit).  Fail whatever futures are still pending.
+                for it in batch:
+                    if it is not _CLOSE and not it.future.done():
+                        try:
+                            it.future.set_exception(e)
+                        except Exception:  # already claimed/cancelled
+                            pass
+                with self._lock:
+                    self._stats["errors"] += 1
 
 
 def make_tile_batcher(gen_apply: Callable, params, meanstd_x, meanstd_y,

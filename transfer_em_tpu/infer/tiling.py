@@ -19,6 +19,7 @@ tests/test_tiling.py by predicting a block whole vs tiled.
 
 from __future__ import annotations
 
+import concurrent.futures as cf
 import dataclasses
 import functools
 from typing import Callable, List, Optional, Sequence, Tuple
@@ -259,7 +260,10 @@ def _predict_tiled_batched(batcher, fetch_tile, plan: TilePlan,
     def drain(n):
         for _ in range(n):
             fut, idx, tin = pending.popleft()
-            pred = fut.result()
+            # Bounded wait: the batcher guarantees its futures resolve, but
+            # a hang here would wedge the serving thread forever — surface
+            # a TimeoutError instead (600 s >> any compile + batch).
+            pred = fut.result(timeout=600)
             scatter_tiles(out, pred[None], [idx], plan.outdimsize)
             if fetch_input:
                 scatter_tiles(in_out, tin[None], [idx], plan.outdimsize)
@@ -270,8 +274,18 @@ def _predict_tiled_batched(batcher, fetch_tile, plan: TilePlan,
     cap = 4 * batcher.max_batch
     for tile, idx in zip(fetched, plan.indices):
         t = np.asarray(tile, np.uint8)
-        tin = t[lo:hi, lo:hi, lo:hi] if fetch_input else None
-        pending.append((batcher.submit(t), idx, tin))
+        # .copy(): a view would pin the whole insize^3 tile in `pending`
+        # (up to cap of them), ~8x the RAM the docstring's bound promises.
+        tin = t[lo:hi, lo:hi, lo:hi].copy() if fetch_input else None
+        try:
+            fut = batcher.submit(t)
+        except RuntimeError:
+            # Batcher closed under us (model-cache eviction or service
+            # shutdown mid-request): degrade gracefully — run this tile
+            # synchronously on our own thread and keep going.
+            fut = cf.Future()
+            fut.set_result(batcher.run_direct(t))
+        pending.append((fut, idx, tin))
         if len(pending) > cap:
             drain(len(pending) - cap)
     drain(len(pending))

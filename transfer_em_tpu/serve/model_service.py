@@ -100,6 +100,7 @@ class ModelCache:
         self._entry = None
 
     def get(self, model_name: str):
+        old = None
         with self._lock:
             if self._entry is not None and self._entry[0] == model_name:
                 return self._entry[1:]
@@ -109,16 +110,24 @@ class ModelCache:
             gen, params, meta = load_generator(path)
             batcher = (self.batcher_factory(gen, params, meta)
                        if self.batcher_factory else None)
-            if self._entry is not None and self._entry[4] is not None:
-                self._entry[4].close()  # evicted model's batcher
+            if self._entry is not None:
+                old = self._entry[4]
             self._entry = (model_name, gen, params, meta, batcher)
-            return gen, params, meta, batcher
+        if old is not None:
+            # Evicted model's batcher: non-blocking close OUTSIDE the cache
+            # lock — its daemon worker drains pending tiles in the
+            # background, and any in-flight request for the old model whose
+            # later submit() raises degrades to batcher.run_direct (see
+            # infer/tiling.py) instead of failing or stalling this request.
+            old.close(wait=False)
+        return gen, params, meta, batcher
 
     def close(self):
         with self._lock:
-            if self._entry is not None and self._entry[4] is not None:
-                self._entry[4].close()
+            old = self._entry[4] if self._entry is not None else None
             self._entry = None
+        if old is not None:
+            old.close()  # wait: shutdown should leave no worker behind
 
     def stats(self):
         with self._lock:
@@ -237,9 +246,14 @@ class ModelService:
         return self.server.server_address[1]
 
     def stop(self):
+        # shutdown() only stops the accept loop; handler threads are
+        # daemons and may still be mid-request.  cache.close() waits for
+        # the batcher to drain their already-submitted tiles, and any
+        # later submit from a straggler degrades to run_direct (tiling.py).
         self.server.shutdown()
         if self._thread:
             self._thread.join(timeout=5)
+        self.server.server_close()  # release the listening socket
         self.cache.close()
 
 

@@ -46,9 +46,11 @@ class TransferEMPredictor:
         self._lock = threading.Lock()
 
     def _get_batcher(self):
-        if not self._cross_batch:
-            return None
         with self._lock:
+            # _cross_batch read under the lock: close() clears it there, so
+            # a predict() racing close() cannot resurrect a worker thread.
+            if not self._cross_batch:
+                return None
             if self._batcher is None:
                 from ..infer.batcher import make_tile_batcher
                 self._batcher = make_tile_batcher(
@@ -57,8 +59,11 @@ class TransferEMPredictor:
             return self._batcher
 
     def close(self):
-        """Stop the shared batcher's worker thread (idempotent)."""
+        """Stop the shared batcher's worker thread (idempotent, terminal):
+        later predict() calls run unbatched rather than resurrecting a new
+        worker thread a caller could never close."""
         with self._lock:
+            self._cross_batch = False
             if self._batcher is not None:
                 self._batcher.close()
                 self._batcher = None
