@@ -813,3 +813,45 @@ def test_load_reference_checkpoint_legacy_layout(tmp_path, monkeypatch):
                       tensors=[tf.constant(t) for t in tensors])
     with pytest.raises(ValueError, match="disc_prior"):
         compat.load_reference_checkpoint(prefix2)
+
+    # A checkpoint saved BEFORE any training step (Keras-2 Adam creates
+    # m/v slots lazily) has weights but zero .OPTIMIZER_SLOT keys: it must
+    # get the saved-too-early diagnosis, NOT be misread as a disc_prior run
+    # (every slot-less weight would look "frozen" to the prior heuristic).
+    pre_names = [n for n in names
+                 if ".OPTIMIZER_SLOT" not in n and "_optimizer/" not in n]
+    pre_tensors = [t for n, t in zip(names, tensors)
+                   if ".OPTIMIZER_SLOT" not in n and "_optimizer/" not in n]
+    prefix3 = str(tmp_path / "legacy_prestep" / "ckpt-1")
+    (tmp_path / "legacy_prestep").mkdir()
+    tf.raw_ops.SaveV2(prefix=prefix3, tensor_names=pre_names,
+                      shape_and_slices=[""] * len(pre_names),
+                      tensors=[tf.constant(t) for t in pre_tensors])
+    with pytest.raises(ValueError, match="before any training step"):
+        compat.load_reference_checkpoint(prefix3)
+
+    # Keras-3 analogue: model-path keys but no optimizer at all.
+    prefix4 = str(tmp_path / "modern_prebuild" / "ckpt-1")
+    (tmp_path / "modern_prebuild").mkdir()
+    tf.raw_ops.SaveV2(
+        prefix=prefix4,
+        tensor_names=[f"generator_g/_operations/0/_kernel{suffix}"],
+        shape_and_slices=[""],
+        tensors=[tf.constant(np.zeros((3, 3, 1, 8), np.float32))])
+    with pytest.raises(ValueError, match="no optimizer variables"):
+        compat.load_reference_checkpoint(prefix4)
+
+
+def test_check_prior_matches_warns_on_opaque_callable():
+    """An opaque disc_prior (no .params) cannot be cross-checked against
+    the checkpoint's stored frozen weights — that skip must be loud."""
+    from transfer_em_tpu import compat
+
+    frozen = [np.ones((3, 3, 1, 8), np.float32)]
+    with pytest.warns(UserWarning, match="cannot cross-check"):
+        compat._check_prior_matches(frozen, lambda x: x)
+    # No frozen weights stored -> nothing to check, no warning.
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        compat._check_prior_matches([], lambda x: x)

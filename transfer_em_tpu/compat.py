@@ -319,7 +319,8 @@ def _ckpt_modern(rd, keys, name):
     ws = [tv[i] for i in range(len(tv))]
     if not ws:
         raise ValueError(
-            f"{name}: no weights under {pref!r}_trainable_variables — "
+            f"{name}: no weights under "
+            f"{pref + '_trainable_variables/'!r} — "
             "checkpoint saved before the optimizer was built?")
     idx = sorted(sv)
     if len(idx) != 2 * len(ws):
@@ -330,6 +331,18 @@ def _ckpt_modern(rd, keys, name):
     vs = [sv[idx[2 * i + 1]] for i in range(len(ws))]
     it = int(rd.get_tensor(pref + "_iterations/.ATTRIBUTES/VARIABLE_VALUE"))
     return ws, ms, vs, it
+
+
+_ATTR_SUFFIX = "/.ATTRIBUTES/VARIABLE_VALUE"
+
+
+def _slot_key(weight_key: str, opt_name: str, slot: str) -> str:
+    """Adam slot path for a Keras-2-era object-graph weight key (slot
+    association rides the weight path itself) — ONE definition shared by
+    trainable extraction (_ckpt_legacy) and frozen-prior detection
+    (_frozen_disc_y_arrays), which must agree on it exactly."""
+    return (weight_key[:-len(_ATTR_SUFFIX)]
+            + f"/.OPTIMIZER_SLOT/{opt_name}/{slot}" + _ATTR_SUFFIX)
 
 
 def _frozen_disc_y_arrays(rd, keys) -> List[np.ndarray]:
@@ -355,15 +368,13 @@ def _frozen_disc_y_arrays(rd, keys) -> List[np.ndarray]:
         int(n) for n in re.findall(r"_operations/(\d+)", k)))
     out.extend(modern)
     # Keras-2-era: weight keys with no Adam m slot.
-    slot = lambda k: (k[:-len(suffix)]
-                      + "/.OPTIMIZER_SLOT/discriminator_y_optimizer/m"
-                      + suffix)
     legacy = [k for k in keys
               if k.startswith("discriminator_y/")
               and ".OPTIMIZER_SLOT" not in k
               and (k.endswith("/kernel" + suffix)
                    or k.endswith("/bias" + suffix))
-              and slot(k) not in keyset]
+              and _slot_key(k, "discriminator_y_optimizer", "m")
+              not in keyset]
     legacy.sort(key=lambda k: tuple(
         int(n) for n in re.findall(r"layer_with_weights-(\d+)", k)))
     out.extend(legacy)
@@ -375,9 +386,20 @@ def _check_prior_matches(frozen: Sequence[np.ndarray], disc_prior) -> None:
     the checkpoint itself stores: a retrained / wrong prior with identical
     architecture would otherwise import silently and diverge from the run
     it claims to continue.  Priors built by this package (``_tap_prior``)
-    expose ``.params``; opaque callables are skipped (nothing to compare)."""
+    expose ``.params``; opaque callables are skipped with a warning
+    (nothing to compare — a wrong one would import silently)."""
+    if not frozen:
+        return
     tree = getattr(disc_prior, "params", None)
-    if tree is None or not frozen:
+    if tree is None:
+        import warnings
+        warnings.warn(
+            "disc_prior exposes no .params — cannot cross-check it against "
+            "the frozen prior weights the checkpoint stores; a wrong prior "
+            "of the right architecture would import silently and diverge "
+            "from the run it continues.  Build the prior with "
+            "create_prior_helper()/prior_from_tf_generator() to enable the "
+            "check.", stacklevel=3)
         return
     leaves = [np.asarray(l) for l in jax.tree.leaves(tree)]
     for i, arr in enumerate(frozen):
@@ -408,9 +430,8 @@ def _ckpt_legacy(rd, keys, name):
     optimizer slots — the same trainables-only contract the Keras-3 layout
     gives for free via ``_trainable_variables``."""
     import re
-    suffix = "/.ATTRIBUTES/VARIABLE_VALUE"
-    slot = lambda k, s: k[:-len(suffix)] + \
-        f"/.OPTIMIZER_SLOT/{name}_optimizer/{s}" + suffix
+    suffix = _ATTR_SUFFIX
+    slot = lambda k, s: _slot_key(k, f"{name}_optimizer", s)
     keyset = set(keys)
     cands = [k for k in keys
              if k.startswith(name + "/") and ".OPTIMIZER_SLOT" not in k
@@ -477,6 +498,24 @@ def load_reference_checkpoint(ckpt_path: str, disc_prior=None):
         extract = _ckpt_modern
     elif any(k.startswith("generator_g/layer_with_weights") for k in keys):
         extract = _ckpt_legacy
+        if not any(".OPTIMIZER_SLOT" in k for k in keys):
+            # Keras-2-era Adam creates m/v slots lazily in apply_gradients:
+            # an all-slot-less checkpoint was saved before the first
+            # train_step.  Diagnose that HERE — the slot-less-means-frozen
+            # heuristic below would otherwise misread every discriminator_y
+            # weight as a disc_prior's and demand a prior that never existed.
+            raise ValueError(
+                "checkpoint has no Adam optimizer slots at all — it was "
+                "saved before any training step (Keras creates m/v slots "
+                "lazily in apply_gradients); import a checkpoint written "
+                "after at least one train_step, or load the weights via "
+                "load_tf_generator/load_tf_discriminator instead")
+    elif any(k.startswith("generator_g/") for k in keys):
+        raise ValueError(
+            "checkpoint stores generator_g but no optimizer variables — "
+            "saved before the optimizer was built / before any training "
+            "step; import a checkpoint written after at least one "
+            "train_step")
     else:
         raise ValueError(
             "not a reference EM2EM checkpoint (no generator_g weights in "
@@ -516,12 +555,16 @@ def load_reference_checkpoint(ckpt_path: str, disc_prior=None):
 
     def convert(name, module, slots, dimsize):
         ws, ms, vs, it = per_model[name]
-        tmpl = _concretize(_template_params(module, is3d, dimsize))
         try:
+            # Template construction is INSIDE the guard: a prior tapped at
+            # the wrong layer fails here first (the concat of mismatched
+            # spatial grids), and deserves the disc_prior hint below, not a
+            # bare shape error.
+            tmpl = _concretize(_template_params(module, is3d, dimsize))
             params = assign_weights(tmpl, slots, _group_arrays(ws))
             mu = assign_weights(tmpl, slots, _group_arrays(ms))
             nu = assign_weights(tmpl, slots, _group_arrays(vs))
-        except ValueError as e:
+        except (TypeError, ValueError) as e:
             if name == "discriminator_y":
                 raise ValueError(
                     f"{e} — discriminator_y's shapes depend on its "
