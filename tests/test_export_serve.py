@@ -298,6 +298,18 @@ def test_model_service_rejects_unaligned(exported, tmp_path, volume):
         svc.stop()
 
 
+def test_healthz_routes(data_service, tmp_path):
+    """Both services answer GET /healthz 200 (Cloud Run liveness probes)."""
+    assert urllib.request.urlopen(
+        data_service.url + "/healthz").read() == b"ok"
+    svc = ModelService(model_root=str(tmp_path))
+    svc.start()
+    try:
+        assert urllib.request.urlopen(svc.url + "/healthz").read() == b"ok"
+    finally:
+        svc.stop()
+
+
 def test_data_service_volume_jpeg_slice(volume, data_service):
     """POST /volume with jpeg=True and a single-z-slice size returns a JPEG
     (reference cloudrun_functions/transferem.py:181-189)."""

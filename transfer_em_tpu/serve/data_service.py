@@ -106,6 +106,9 @@ def make_handler(slice_cache: LruCache):
 
         def do_GET(self):
             parsed = urlparse(self.path)
+            if parsed.path.rstrip("/") == "/healthz":
+                # Liveness/readiness for Cloud Run-style deployment.
+                return self._send(200, b"ok", "text/plain")
             parts = parsed.path.strip("/").split("/")
             if len(parts) != 4 or parts[0] != "slice":
                 return self._send(404, b"not found", "text/plain")
@@ -160,6 +163,20 @@ class DataService:
         self.server.shutdown()
         if self._thread:
             self._thread.join(timeout=5)
+        self.server.server_close()  # release the listening socket
+
+
+def serve_until_signal(svc):  # pragma: no cover
+    """Run a service in the foreground, stopping cleanly on SIGTERM/SIGINT
+    (Cloud Run sends SIGTERM before killing the container)."""
+    import signal
+
+    done = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda *_: done.set())
+    svc.start()
+    done.wait()
+    svc.stop()
 
 
 def main():  # pragma: no cover
@@ -167,7 +184,7 @@ def main():  # pragma: no cover
     svc = DataService(host="0.0.0.0",
                       port=int(os.environ.get("PORT", 8080)))
     print(f"data service on {svc.url}")
-    svc.server.serve_forever()
+    serve_until_signal(svc)
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -156,6 +156,9 @@ def make_handler(cache: ModelCache, mesh=None):
             if self.path.rstrip("/") == "/stats":
                 body = json.dumps(cache.stats()).encode()
                 self._send(200, body, "application/json")
+            elif self.path.rstrip("/") == "/healthz":
+                # Liveness/readiness for Cloud Run-style deployment.
+                self._send(200, b"ok")
             else:
                 self._send(404, b"unknown path")
 
@@ -258,10 +261,13 @@ class ModelService:
 
 
 def main():  # pragma: no cover
+    from .data_service import serve_until_signal
     svc = ModelService(host="0.0.0.0",
                        port=int(os.environ.get("PORT", 8080)))
     print(f"model service on {svc.url}")
-    svc.server.serve_forever()
+    # Clean SIGTERM/SIGINT shutdown: drains the cross-request batcher and
+    # releases the socket (Cloud Run sends SIGTERM before the kill).
+    serve_until_signal(svc)
 
 
 if __name__ == "__main__":  # pragma: no cover
