@@ -298,6 +298,52 @@ def test_model_service_rejects_unaligned(exported, tmp_path, volume):
         svc.stop()
 
 
+def test_model_cache_lru_multi_model(exported, volume, tmp_path):
+    """cache_size=N keeps N models resident (LRU): alternating requests
+    between two models evict nothing at capacity 2, while the default
+    capacity 1 (reference single-model parity, transferem.py:85-116)
+    closes the evicted model's batcher on every flip."""
+    d, gen, params, meta = exported
+    root = tmp_path / "models"
+    for m in ("m1", "m2"):
+        os.makedirs(root / m)
+        os.symlink(d, root / m / "v1")
+
+    svc = ModelService(model_root=str(root), cache_size=2)
+    svc.start()
+    try:
+        outs = {}
+        for i, m in enumerate(("m1:v1", "m2:v1", "m1:v1", "m2:v1")):
+            dest = tmp_path / f"lru_{i}"
+            predict_chunk(svc.url, "testbucket/vol", start=(64, 64, 64),
+                          size=(64, 64, 64), model_name=m, dest=str(dest))
+            (name,) = os.listdir(dest)
+            outs.setdefault(m, []).append(
+                gzip.decompress(open(dest / name, "rb").read()))
+        # Same weights behind both names -> identical blocks; repeat visits
+        # hit the cache (same bytes again).
+        assert outs["m1:v1"][0] == outs["m1:v1"][1] == outs["m2:v1"][0]
+        s = json.loads(urllib.request.urlopen(svc.url + "/stats").read())
+        assert sorted(s["models"]) == ["m1:v1", "m2:v1"]
+        for m in ("m1:v1", "m2:v1"):  # nothing evicted at capacity 2
+            assert not svc.cache._entries[m][3]._closed
+    finally:
+        svc.stop()
+    for m in ("m1:v1", "m2:v1"):  # close() stopped every batcher
+        assert svc.cache._entries == {}
+
+    svc1 = ModelService(model_root=str(root))  # default: capacity 1
+    svc1.start()
+    try:
+        b1 = svc1.cache.get("m1:v1")[3]
+        svc1.cache.get("m2:v1")
+        assert b1._closed  # LRU eviction closed the flipped-out batcher
+        s = json.loads(urllib.request.urlopen(svc1.url + "/stats").read())
+        assert s["models"] == ["m2:v1"]
+    finally:
+        svc1.stop()
+
+
 def test_healthz_routes(data_service, tmp_path):
     """Both services answer GET /healthz 200 (Cloud Run liveness probes)."""
     assert urllib.request.urlopen(
