@@ -178,3 +178,40 @@ def test_stitching_phase_invariance_dim78():
     y_win = gen.apply(p, xb[:, 4:78, 4:78])        # 74-window at offset 4
     np.testing.assert_allclose(np.asarray(y_big[:, 4:, 4:]),
                                np.asarray(y_win), rtol=1e-4, atol=1e-5)
+
+
+def test_reference_named_api():
+    """The reference's own import paths and names resolve here: a migrating
+    user's `from transfer_em.models.generator import unet_generator` (etc.)
+    becomes the same line with `transfer_em_tpu` (generator.py:22,
+    discriminator.py:14, models/utils.py:10,41,89)."""
+    from transfer_em_tpu.models import (InstanceNorm, InstanceNormalization,
+                                        downsample, unet_generator, upsample)
+    from transfer_em_tpu.models.discriminator import discriminator
+
+    gen, out = unet_generator(74, is3d=False, norm_type="instancenorm", wf=8)
+    assert out == 40
+    # Identical module config => identical init tree as the native builder.
+    x = jnp.zeros((1, 74, 74, 1))
+    p_ref = gen.init(jax.random.PRNGKey(0), x)
+    p_nat = build_generator(74, is3d=False, wf=8)[0].init(
+        jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p_ref) == \
+        jax.tree_util.tree_structure(p_nat)
+
+    disc = discriminator(is3d=False, norm_type="instancenorm", wf=8)
+    pd = disc.init(jax.random.PRNGKey(0), jnp.zeros((1, 40, 40, 1)))
+    assert disc.apply(pd, jnp.zeros((1, 40, 40, 1))).shape[0] == 1
+
+    down = downsample("d1", 1, 32, is3d=False)
+    y, skip = down.apply(down.init(jax.random.PRNGKey(0), x), x)
+    assert skip.shape == (1, 72, 72, 32)     # 3x3 VALID
+    assert y.shape == (1, 35, 35, 32)        # 4x4 stride-2 VALID
+
+    up = upsample("u1", 32, 16, is3d=False, apply_dropout=False)
+    yu = up.apply(up.init(jax.random.PRNGKey(0), y), y)
+    assert yu.shape == (1, 66, 66, 16)       # (35-2)*2 SAME tconv
+
+    assert InstanceNormalization is InstanceNorm
+    with pytest.raises(NotImplementedError):
+        downsample("d", 1, 8, filter_size=3)

@@ -82,3 +82,12 @@ def build_discriminator(is3d: bool = True, wf: int = 8, use_norm: bool = False,
     """API-parity constructor (reference ``discriminator(is3d, ...)``)."""
     return Discriminator(is3d=is3d, wf=wf, use_norm=use_norm,
                          compute_dtype=compute_dtype, disc_prior=disc_prior)
+
+
+def discriminator(is3d=True, norm_type="instancenorm", wf=8, disc_prior=None):
+    """Reference-named constructor (models/discriminator.py:14) — importable
+    as ``from transfer_em_tpu.models.discriminator import discriminator``,
+    the reference's own path.  ``norm_type`` is accepted but inert, as in the
+    reference (norm calls commented out, models/utils.py:75-82)."""
+    del norm_type
+    return build_discriminator(is3d=is3d, wf=wf, disc_prior=disc_prior)

@@ -102,3 +102,12 @@ def build_generator(dimsize: int, is3d: bool = True, wf: int = 8,
     out = generator_shapes(dimsize).out
     del is3d  # same module handles 2D/3D; kept for API parity
     return model, out
+
+
+def unet_generator(dimsize, is3d=True, norm_type="instancenorm", wf=8):
+    """Reference-named constructor (models/generator.py:22) ->
+    ``(module, out_dimsize)``.  ``norm_type`` is accepted but inert, exactly
+    as in the reference (all norm calls are commented out,
+    models/utils.py:75-82; cgan.py:47 marks it DEPRECATED)."""
+    del norm_type
+    return build_generator(dimsize, is3d=is3d, wf=wf)
