@@ -180,3 +180,26 @@ def test_export_meta_reads_reference_style_json():
     assert m.buffer == 17 and m.outdimsize == 40
     assert m.meanstd_x == (0.19801877, 0.1824518)
     assert m.dimsize == 74 and m.is3d is True and m.wf == 8
+
+
+def test_reference_named_network_attributes(tmp_path):
+    """The reference exposes the four networks as callable model attributes
+    (cgan.py:58-62); ours are BoundModel views over the LIVE training params
+    (generator calls == predict/predict_f exactly)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from transfer_em_tpu.train import EM2EM
+
+    model = EM2EM(74, "attr_test", is3d=False, wf=32,
+                  checkpoint_root=str(tmp_path / "ck"))
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(1, 74, 74, 1)).astype(np.float32))
+    yg = model.generator_g(x)
+    np.testing.assert_array_equal(np.asarray(yg), np.asarray(model.predict(x)))
+    np.testing.assert_array_equal(np.asarray(model.generator_f(x)),
+                                  np.asarray(model.predict_f(x)))
+    assert model.discriminator_x(yg).shape == model.discriminator_y(yg).shape
+    # Live view: the params property always reads the current state.
+    assert model.generator_g.params is model.state.gg
+    assert model.generator_g.module is model.gen

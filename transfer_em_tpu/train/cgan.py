@@ -778,6 +778,49 @@ class EM2EM:
         """Generator F forward (Y -> X)."""
         return self._predict(self.state.gf, jnp.asarray(data))
 
+    # ---- reference-named network attributes (cgan.py:58-62) ----
+    # The reference exposes the four Keras models directly; here each is a
+    # callable view binding the Flax module to the LIVE training params
+    # (tracks training — taken fresh from self.state on every access).
+    @property
+    def generator_g(self) -> "BoundModel":
+        return BoundModel(self.gen, lambda: self.state.gg, self._predict)
+
+    @property
+    def generator_f(self) -> "BoundModel":
+        return BoundModel(self.gen, lambda: self.state.gf, self._predict)
+
+    @property
+    def discriminator_x(self) -> "BoundModel":
+        return BoundModel(self.disc_x_model, lambda: self.state.dx)
+
+    @property
+    def discriminator_y(self) -> "BoundModel":
+        return BoundModel(self.disc_y_model, lambda: self.state.dy)
+
+
+class BoundModel:
+    """A Flax module bound to live params — the TPU-native stand-in for the
+    reference's direct Keras-model attributes (cgan.py:58-62).  Calling it
+    runs a forward pass with the CURRENT training params; `.module` /
+    `.params` expose the pieces for functional use (e.g. `infer.predict_volume
+    (..., gen_apply=bm.module.apply, params=bm.params)`)."""
+
+    def __init__(self, module, params_fn, apply_fn=None):
+        self.module = module
+        self._params_fn = params_fn
+        self._apply = apply_fn  # jitted shared fn for generators, else apply
+
+    @property
+    def params(self):
+        return self._params_fn()
+
+    def __call__(self, x) -> jax.Array:
+        x = jnp.asarray(x)
+        if self._apply is not None:
+            return self._apply(self.params, x)
+        return self.module.apply(self.params, x)
+
 
 class _nullcontext:
     def __enter__(self):
