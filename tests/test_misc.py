@@ -203,3 +203,10 @@ def test_reference_named_network_attributes(tmp_path):
     # Live view: the params property always reads the current state.
     assert model.generator_g.params is model.state.gg
     assert model.generator_g.module is model.gen
+    # Discriminator views ride a jitted shared apply (no eager per-op
+    # dispatch per call) and match the raw module.apply output exactly.
+    assert model.discriminator_x._apply is model._disc_x_apply
+    assert model.discriminator_y._apply is model._disc_y_apply
+    np.testing.assert_array_equal(
+        np.asarray(model.discriminator_x(yg)),
+        np.asarray(model.disc_x_model.apply(model.state.dx, yg)))

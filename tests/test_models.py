@@ -212,6 +212,24 @@ def test_reference_named_api():
     yu = up.apply(up.init(jax.random.PRNGKey(0), y), y)
     assert yu.shape == (1, 66, 66, 16)       # (35-2)*2 SAME tconv
 
-    assert InstanceNormalization is InstanceNorm
+    # Reference signature is (is3d=True, epsilon=1e-5) and the reference's
+    # own call pattern is POSITIONAL InstanceNormalization(is3d)
+    # (utils.py:70) — the factory must bind is3d, not epsilon, first.
+    norm = InstanceNormalization(False)       # is3d positional, 2D
+    assert isinstance(norm, InstanceNorm)
+    assert norm.epsilon == 1e-5               # untouched by is3d=False
+    assert InstanceNormalization(True, 1e-3).epsilon == 1e-3
+    xn = jnp.arange(2 * 4 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 4, 3)
+    pn = norm.init(jax.random.PRNGKey(0), xn)
+    yn = norm.apply(pn, xn)
+    # per-(sample, channel) spatial mean ~ 0 after normalization
+    np.testing.assert_allclose(np.asarray(jnp.mean(yn, axis=(1, 2))),
+                               0.0, atol=1e-4)
+
     with pytest.raises(NotImplementedError):
         downsample("d", 1, 8, filter_size=3)
+
+    # unet_generator keeps the reference's exception TYPE for invalid sizes
+    # (reference models/generator.py:38 raises RuntimeError).
+    with pytest.raises(RuntimeError):
+        unet_generator(73)

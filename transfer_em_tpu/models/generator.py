@@ -108,6 +108,14 @@ def unet_generator(dimsize, is3d=True, norm_type="instancenorm", wf=8):
     """Reference-named constructor (models/generator.py:22) ->
     ``(module, out_dimsize)``.  ``norm_type`` is accepted but inert, exactly
     as in the reference (all norm calls are commented out,
-    models/utils.py:75-82; cgan.py:47 marks it DEPRECATED)."""
+    models/utils.py:75-82; cgan.py:47 marks it DEPRECATED).
+
+    Raises ``RuntimeError`` for an invalid ``dimsize``, matching the
+    reference's exception type (models/generator.py:38) so migrating code
+    that catches it keeps working; the native ``build_generator`` raises
+    ``ValueError``."""
     del norm_type
-    return build_generator(dimsize, is3d=is3d, wf=wf)
+    try:
+        return build_generator(dimsize, is3d=is3d, wf=wf)
+    except ValueError as e:
+        raise RuntimeError(str(e)) from e

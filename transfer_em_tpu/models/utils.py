@@ -15,9 +15,19 @@ from __future__ import annotations
 
 from .blocks import DownBlock, InstanceNorm, UpBlock
 
-# Reference class name (models/utils.py:10-38).  The Flax module normalizes
-# over the spatial axes with the same N(1, 0.02)-scale / zero-offset init.
-InstanceNormalization = InstanceNorm
+def InstanceNormalization(is3d=True, epsilon=1e-5) -> InstanceNorm:
+    """Reference class name + SIGNATURE (models/utils.py:10-16:
+    ``__init__(self, is3d=True, epsilon=1e-5)``; the reference's own call is
+    positional ``InstanceNormalization(is3d)``, utils.py:70).
+
+    A thin factory rather than a class alias so that positional migration
+    calls bind ``is3d`` — not ``epsilon`` — to the first argument.  ``is3d``
+    is inert here: the Flax module infers rank from its input and normalizes
+    over whatever spatial axes are present, with the same N(1, 0.02)-scale /
+    zero-offset init as the reference.
+    """
+    del is3d  # inferred from input rank
+    return InstanceNorm(epsilon=epsilon)
 
 
 def downsample(id, infilters, outfilters, is3d=True, filter_size=4,

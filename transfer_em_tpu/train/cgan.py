@@ -486,6 +486,13 @@ class EM2EM:
         self.state = create_state(self.config, self._rng, disc_prior)
         self._train_step = make_train_step(self.config, disc_prior)
         self._predict = jax.jit(lambda params, x: self.gen.apply(params, x))
+        # Jitted shared discriminator applies so repeated discriminator_x/y
+        # calls don't pay eager per-op dispatch (remote-compile rig makes
+        # unjitted apply disproportionately slow).
+        self._disc_x_apply = jax.jit(
+            lambda params, x: self.disc_x_model.apply(params, x))
+        self._disc_y_apply = jax.jit(
+            lambda params, x: self.disc_y_model.apply(params, x))
 
         # ---- checkpoints (reference cgan.py:84-103) ----
         self.checkpoint_path = os.path.abspath(
@@ -792,11 +799,13 @@ class EM2EM:
 
     @property
     def discriminator_x(self) -> "BoundModel":
-        return BoundModel(self.disc_x_model, lambda: self.state.dx)
+        return BoundModel(self.disc_x_model, lambda: self.state.dx,
+                          self._disc_x_apply)
 
     @property
     def discriminator_y(self) -> "BoundModel":
-        return BoundModel(self.disc_y_model, lambda: self.state.dy)
+        return BoundModel(self.disc_y_model, lambda: self.state.dy,
+                          self._disc_y_apply)
 
 
 class BoundModel:
