@@ -25,12 +25,33 @@ def fake_dvid():
             pass
 
         def do_GET(self):
+            mi = re.match(r"/api/node/(\w+)/(\w+)/info$", self.path)
+            if mi:
+                # DVID instance info JSON (the reference's wrong-length
+                # diagnostic reads Base.TypeName from this route).
+                body = (b'{"Base": {"TypeName": "uint64blk", '
+                        b'"Name": "%s"}}' % mi.group(2).encode())
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             m = re.match(
                 r"/api/node/(\w+)/(\w+)/raw/0_1_2/(\d+)_(\d+)_(\d+)/"
                 r"(-?\d+)_(-?\d+)_(-?\d+)", self.path)
             if not m:
                 self.send_response(404)
                 self.end_headers()
+                return
+            if m.group(2) == "labels64":
+                # Simulate a non-uint8 instance: 8 bytes/voxel -> wrong length
+                sx, sy, sz = (int(m.group(i)) for i in (3, 4, 5))
+                body = b"\0" * (sx * sy * sz * 8)
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
                 return
             sx, sy, sz = (int(m.group(i)) for i in (3, 4, 5))
             ox, oy, oz = (int(m.group(i)) for i in (6, 7, 8))
@@ -67,6 +88,63 @@ def test_fetch_raw_dvid_length_check(fake_dvid):
     import requests
     with pytest.raises(requests.HTTPError):
         fetch_raw_dvid(url, "abc9", "bad/instance", [[0, 0, 0], [8, 8, 8]])
+
+
+def test_fetch_instance_info(fake_dvid):
+    url, _ = fake_dvid
+    from transfer_em_tpu.data.sources import fetch_instance_info
+    info = fetch_instance_info(url, "abc9", "grayscale")
+    assert info["Base"]["TypeName"] == "uint64blk"
+
+
+def test_wrong_length_error_names_instance_type(fake_dvid):
+    """The wrong-length diagnostic fetches the instance's info and names its
+    ACTUAL type, like the reference (generators.py:214-220)."""
+    url, _ = fake_dvid
+    with pytest.raises(RuntimeError, match=r"has type 'uint64blk'.*uint8"):
+        fetch_raw_dvid(url, "abc9", "labels64", [[0, 0, 0], [8, 8, 8]])
+
+
+def test_cloudrun_fetch_error_diagnostics(monkeypatch):
+    """A failed Cloud Run /volume fetch raises with HTTP status + body
+    snippet (not a bare 'cloud run failed'), and a missing gcloud warns
+    once instead of silently degrading."""
+    import warnings
+
+    from transfer_em_tpu.data.sources import CloudRunFetcher
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            body = b"location not found: gs://nope"
+            self.send_response(500)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        monkeypatch.setattr(CloudRunFetcher, "_token_warning_issued", False)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            f = CloudRunFetcher(url, "gs://nope")   # gcloud missing -> warn
+            with pytest.raises(RuntimeError) as ei:
+                f.fetch((0, 0, 0), 8)
+        msg = str(ei.value)
+        assert "HTTP 500" in msg and "location not found" in msg
+        assert url in msg
+        token_warnings = [w for w in caught
+                          if "identity-token" in str(w.message)]
+        # init + the in-fetch refresh both fail, but the warning fires ONCE
+        assert len(token_warnings) == 1
+    finally:
+        server.shutdown()
 
 
 def test_volume3d_dvid_stream(fake_dvid):

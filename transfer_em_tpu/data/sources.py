@@ -66,6 +66,22 @@ def with_retries(fetch: Callable, attempts: int = 3,
 
 # --------------------------------------------------------------------- DVID
 
+def fetch_instance_info(server: str, uuid: str, instance: str,
+                        session=None) -> dict:
+    """Fetch a DVID data instance's info JSON (``GET .../{instance}/info``).
+
+    The reference's wrong-length diagnostic calls this to name the
+    instance's actual type (generators.py:215-216); the key of interest is
+    ``info["Base"]["TypeName"]``.
+    """
+    import requests
+    if session is None:
+        session = requests.Session()
+    r = session.get(f"{server}/api/node/{uuid}/{instance}/info")
+    r.raise_for_status()
+    return r.json()
+
+
 def fetch_raw_dvid(server: str, uuid: str, instance: str, box_zyx,
                    session=None) -> np.ndarray:
     """Fetch a raw uint8 subvolume from DVID (reference generators.py:170-223).
@@ -86,9 +102,20 @@ def fetch_raw_dvid(server: str, uuid: str, instance: str, box_zyx,
     r.raise_for_status()
     expected = int(np.prod(shape_zyx))
     if len(r.content) != expected:
+        # Name the instance's ACTUAL type in the error, like the reference
+        # (generators.py:214-220); fall back gracefully if the info fetch
+        # itself fails (the original error is the one that matters).
+        try:
+            typename = fetch_instance_info(
+                server, uuid, instance, session)["Base"]["TypeName"]
+            type_clause = f"has type '{typename}'"
+        except Exception:  # noqa: BLE001 — diagnostic only
+            type_clause = "has unknown type (info fetch failed)"
         raise RuntimeError(
-            f"Buffer from DVID has wrong length {len(r.content)} != {expected} "
-            f"for instance '{instance}' (wrong dtype?)")
+            "Buffer from DVID is the wrong length for the requested array "
+            f"({len(r.content)} != {expected}).\n"
+            "Did you pass the correct dtype for this instance?\n"
+            f"Instance '{instance}' {type_clause}, and you passed dtype=uint8")
     return np.frombuffer(r.content, dtype=np.uint8).reshape(shape_zyx)
 
 
@@ -235,13 +262,23 @@ class CloudRunFetcher:
         self._headers = {"Content-type": "application/json"}
         self._refresh_token()
 
+    _token_warning_issued = False  # class-level: warn once per process
+
     def _refresh_token(self):
         try:
             token = subprocess.check_output(
-                ["gcloud auth print-identity-token"], shell=True).decode()
-            self._headers["Authorization"] = f"Bearer {token[:-1]}"
-        except Exception:
-            pass  # unauthenticated local service
+                ["gcloud", "auth", "print-identity-token"],
+                stderr=subprocess.DEVNULL).decode()
+            self._headers["Authorization"] = f"Bearer {token.rstrip()}"
+        except Exception as e:  # noqa: BLE001 — degrade to unauthenticated
+            if not CloudRunFetcher._token_warning_issued:
+                CloudRunFetcher._token_warning_issued = True
+                import warnings
+                warnings.warn(
+                    "gcloud identity-token acquisition failed "
+                    f"({type(e).__name__}: {e}); proceeding unauthenticated "
+                    "(fine for local services, will 401/403 on Cloud Run)",
+                    RuntimeWarning, stacklevel=2)
 
     def fetch(self, corner, size: int) -> np.ndarray:
         x, y, z = corner
@@ -252,12 +289,22 @@ class CloudRunFetcher:
                                   data=json.dumps(config),
                                   headers=self._headers)
         if res.status_code != 200:
+            # One retry with a fresh token (reference generators.py:147-153
+            # retries stale Cloud Run tokens this way).
             self._refresh_token()
             res = self._requests.post(self.cloudrun + "/volume",
                                       data=json.dumps(config),
                                       headers=self._headers)
         if res.status_code != 200:
-            raise RuntimeError("cloud run failed")
+            body = res.content[:200]
+            try:
+                body = body.decode("utf-8", "replace")
+            except Exception:  # noqa: BLE001
+                pass
+            raise RuntimeError(
+                f"cloud run /volume failed: HTTP {res.status_code} from "
+                f"{self.cloudrun} for start={config['start']} "
+                f"size={size}: {body!r}")
         data = np.frombuffer(res.content, dtype=np.uint8)
         # service returns F-order xyz == C-order zyx (see serve/data_service)
         return data.reshape((size, size, size))
