@@ -112,6 +112,43 @@ def test_halo_predict_matches_unsharded():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_halo_predict_auto_pad_awkward_extent():
+    """halo_predict accepts an arbitrary (deliberately awkward) sharded
+    extent by zero-padding to the nearest valid slab geometry and cropping
+    — bit-equal to the unsharded generator on the z-padded volume
+    (VERDICT r2 item 7)."""
+    gen = UNetGenerator(wf=32)
+    buffer = generator_shapes(74).buffer  # 17
+    Z = 147  # not divisible by 4 devices; slab would be 36.75
+    rng = np.random.default_rng(7)
+    vol = jnp.asarray(rng.normal(size=(Z, 74, 74, 1)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), vol[None, :74])
+
+    mesh = make_mesh(8, data=2, space=4)
+    apply_fn = lambda p, b: gen.apply(p, b)
+    got = halo_predict(apply_fn, params, vol, mesh, buffer)
+
+    # Unsharded comparator: zeros-outside-volume semantics — pad z to the
+    # aligned 160 (what auto-pad does internally), run the plain generator
+    # on the z-halo-padded block, crop back to 147.
+    vol160 = jnp.pad(vol, ((0, 160 - Z), (0, 0), (0, 0), (0, 0)))
+    padded = zero_pad(vol160[None], buffer)[:, :, buffer:-buffer,
+                                            buffer:-buffer]
+    want = gen.apply(params, padded)[0][:Z]
+    assert got.shape == want.shape == (Z, 40, 40, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+    # strict mode still rejects the awkward extent
+    with pytest.raises(ValueError):
+        halo_predict(apply_fn, params, vol, mesh, buffer, auto_pad=False)
+
+    # _padded_extent is a no-op on already-valid geometry
+    from transfer_em_tpu.parallel.halo import _padded_extent
+    assert _padded_extent(160, 4, 17) == 160
+    assert _padded_extent(147, 4, 17) == 160
+
+
 def test_make_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(8, data=3, space=2)  # 6 != 8

@@ -178,3 +178,66 @@ def test_predict_tiled_fetch_input():
     assert inp.shape == out.shape == (36, 36, 36)
     # returned input equals the source region (zyx slice of the volume)
     np.testing.assert_array_equal(inp, vol[40:76, 40:76, 40:76])
+
+
+def test_predict_tiled_out_memmap(tmp_path):
+    """predict_tiled(out=np.memmap) writes straight into the preallocated
+    buffer (edge tiles clipped, no padded intermediate) and matches the
+    in-RAM result byte-for-byte — the host-tiles analogue of
+    infer.stream's out= (VERDICT r2 item 9)."""
+    gen = UNetGenerator(wf=32)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 74, 74, 74, 1)))
+    vol = np.random.default_rng(9).integers(0, 255, size=(150, 150, 150),
+                                            dtype=np.uint8)
+
+    def fetch_tile(corner, insize):
+        return gather_blocks(vol, [corner], insize)[0]
+
+    # size NOT a multiple of the effective outdimsize (36) -> exercises
+    # the clipped edge-tile writes into the exact-size buffer
+    args = (fetch_tile, gen.apply, params, (30, 40, 20), (50, 40, 30),
+            40, 17, (0.1, 0.9), (0.05, 1.1))
+    want = predict_tiled(*args, batch_size=3)
+
+    mm = np.memmap(tmp_path / "out.u8", dtype=np.uint8, mode="w+",
+                   shape=(30, 40, 50))  # zyx of xyz (50, 40, 30)
+    got = predict_tiled(*args, batch_size=3, out=mm)
+    assert got is mm
+    mm.flush()
+    np.testing.assert_array_equal(np.asarray(mm), want)
+
+    # re-read from disk: bytes really landed in the file
+    back = np.memmap(tmp_path / "out.u8", dtype=np.uint8, mode="r",
+                     shape=(30, 40, 50))
+    np.testing.assert_array_equal(np.asarray(back), want)
+
+    with pytest.raises(ValueError, match="out shape"):
+        predict_tiled(*args, out=np.zeros((1, 2, 3), np.uint8))
+    with pytest.raises(ValueError, match="uint8"):
+        predict_tiled(*args, out=np.zeros((30, 40, 50), np.float32))
+
+
+def test_predict_tiled_out_with_batcher():
+    """out= also routes through the shared-TileBatcher serving path."""
+    from transfer_em_tpu.infer.batcher import make_tile_batcher
+
+    gen = UNetGenerator(wf=32)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 74, 74, 74, 1)))
+    vol = np.random.default_rng(11).integers(0, 255, size=(150, 150, 150),
+                                             dtype=np.uint8)
+
+    def fetch_tile(corner, insize):
+        return gather_blocks(vol, [corner], insize)[0]
+
+    args = (fetch_tile, gen.apply, params, (30, 40, 20), (50, 40, 30),
+            40, 17, (0.1, 0.9), (0.05, 1.1))
+    want = predict_tiled(*args, batch_size=3)
+    batcher = make_tile_batcher(gen.apply, params, (0.1, 0.9), (0.05, 1.1),
+                                outdimsize=40, buffer=17, max_batch=4)
+    try:
+        out = np.zeros((30, 40, 50), np.uint8)
+        got = predict_tiled(*args, batcher=batcher, out=out)
+        assert got is out
+        np.testing.assert_array_equal(got, want)
+    finally:
+        batcher.close()

@@ -152,6 +152,7 @@ def predict_tiled(
         fetch_threads: int = 8,
         mesh=None,
         batcher=None,
+        out: Optional[np.ndarray] = None,
 ) -> np.ndarray | Tuple[np.ndarray, np.ndarray]:
     """Full tiled inference: fetch -> batched jitted predict -> stitch -> crop.
 
@@ -168,8 +169,13 @@ def predict_tiled(
         results are bit-identical).  The batcher carries its own step,
         sharding, and batch sizing, so gen_apply/params/mesh/batch_size are
         unused for compute.
+      out: optional preallocated zyx uint8 output of ``size`` (e.g. a
+        np.memmap, so gigavoxel requests through the host-tiles route are
+        host-RAM-bounded like infer.stream's); tiles are scattered straight
+        into it with edge clipping — no padded intermediate buffer.
     Returns:
-      zyx uint8 array of ``size`` (and the input volume if fetch_input).
+      zyx uint8 array of ``size`` (``out`` if given), and the input volume
+      if fetch_input.
     """
     from ..data.sources import _parallel_fetch
 
@@ -181,6 +187,12 @@ def predict_tiled(
         batch_size = -(-batch_size // ndev) * ndev
 
     plan = plan_tiles(start, size, outdimsize, buffer)
+    if out is not None:
+        want = (size[2], size[1], size[0])  # zyx
+        if tuple(out.shape) != want:
+            raise ValueError(f"out shape {out.shape} != request zyx {want}")
+        if out.dtype != np.uint8 or not out.flags.c_contiguous:
+            raise ValueError("out must be C-contiguous uint8")
     if batcher is not None:
         for attr, planned in (("insize", plan.insize),
                               ("outdimsize", plan.outdimsize),
@@ -191,11 +203,13 @@ def predict_tiled(
                     f"batcher was built for {attr}={built}, this request "
                     f"plans {planned} — outdimsize/buffer mismatch")
         return _predict_tiled_batched(batcher, fetch_tile, plan,
-                                      fetch_input, fetch_threads)
+                                      fetch_input, fetch_threads, out=out)
     step = make_tile_step(gen_apply, params, meanstd_x, meanstd_y, plan.tpad,
                           sharding)
 
-    out = np.zeros(plan.padded_size, np.uint8)
+    user_out = out is not None
+    if out is None:
+        out = np.zeros(plan.padded_size, np.uint8)
     in_out = np.zeros(plan.padded_size, np.uint8) if fetch_input else None
 
     def fetch(corner):
@@ -235,14 +249,16 @@ def predict_tiled(
     flush()
 
     sx, sy, sz = size
-    res = out[:sz, :sy, :sx]
+    # user-supplied out is exact-size; scatter_tiles clipped the overhang
+    res = out if user_out else out[:sz, :sy, :sx]
     if fetch_input:
         return in_out[:sz, :sy, :sx], res
     return res
 
 
 def _predict_tiled_batched(batcher, fetch_tile, plan: TilePlan,
-                           fetch_input: bool, fetch_threads: int):
+                           fetch_input: bool, fetch_threads: int,
+                           out: Optional[np.ndarray] = None):
     """predict_tiled's compute loop when a shared TileBatcher owns the
     device: submit tiles as they are fetched, scatter as futures resolve.
     In-flight tiles are capped at 4 batches' worth so a slow device bounds
@@ -251,7 +267,9 @@ def _predict_tiled_batched(batcher, fetch_tile, plan: TilePlan,
 
     from ..data.sources import _parallel_fetch
 
-    out = np.zeros(plan.padded_size, np.uint8)
+    user_out = out is not None
+    if out is None:
+        out = np.zeros(plan.padded_size, np.uint8)
     in_out = np.zeros(plan.padded_size, np.uint8) if fetch_input else None
     lo, hi = plan.buffer, plan.buffer + plan.outdimsize
 
@@ -291,7 +309,7 @@ def _predict_tiled_batched(batcher, fetch_tile, plan: TilePlan,
     drain(len(pending))
 
     sx, sy, sz = plan.size
-    res = out[:sz, :sy, :sx]
+    res = out if user_out else out[:sz, :sy, :sx]
     if fetch_input:
         return in_out[:sz, :sy, :sx], res
     return res
@@ -301,13 +319,16 @@ def predict_ng_cube(location: str, start, size, model, meanstd_x, meanstd_y,
                     cloudrun: Optional[str] = None, fetch_input: bool = False,
                     outdimsize: Optional[int] = None,
                     buffer: Optional[int] = None,
-                    batch_size: int = 8, mesh=None, batcher=None):
+                    batch_size: int = 8, mesh=None, batcher=None,
+                    out: Optional[np.ndarray] = None):
     """API-parity tiled inference from ng-precomputed (reference utils.py:41).
 
     ``model``: an EM2EM instance (uses generator G) or a (gen_apply, params)
     pair with explicit outdimsize/buffer.  ``mesh``: fan tile batches out
     data-parallel over a Mesh 'data' axis (see predict_tiled).  ``batcher``:
     share device batches with concurrent requests (see predict_tiled).
+    ``out``: preallocated zyx uint8 output, e.g. np.memmap (see
+    predict_tiled).
     """
     from ..data.sources import CloudRunFetcher, open_tensorstore
 
@@ -340,4 +361,4 @@ def predict_ng_cube(location: str, start, size, model, meanstd_x, meanstd_y,
     return predict_tiled(fetch_tile, gen_apply, params, start, size,
                          outdimsize, buffer, meanstd_x, meanstd_y,
                          batch_size=batch_size, fetch_input=fetch_input,
-                         mesh=mesh, batcher=batcher)
+                         mesh=mesh, batcher=batcher, out=out)

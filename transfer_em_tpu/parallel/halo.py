@@ -61,6 +61,26 @@ def _vol_spec(batched: bool, data_axis: str | None,
     return P(*lead, *tail, None)  # final None: channel axis
 
 
+def _padded_extent(extent: int, n_dev: int, buffer: int) -> int:
+    """Smallest extent' >= extent with a valid slab geometry on n_dev devices
+    (slab % 4 == 0, slab > buffer, extended slab a valid dimsize).
+
+    Returns ``extent`` unchanged when it is already valid, so auto-padding
+    is a no-op on aligned volumes.
+    """
+    slab = -(-extent // n_dev)      # ceil-divide
+    slab += (-slab) % 4             # round up to the stride-4 pooling phase
+    slab = max(slab, 4)
+    limit = extent + 4 * n_dev + 512  # geometry search safety bound
+    while slab <= buffer or not is_valid_dimsize(slab + 2 * buffer):
+        slab += 4
+        if slab * n_dev > limit:
+            raise ValueError(
+                f"no valid slab geometry found for extent {extent} on "
+                f"{n_dev} devices with halo {buffer}")
+    return slab * n_dev
+
+
 def _check_slab(extent: int, n_dev: int, buffer: int, name: str) -> None:
     """Validate one sharded spatial axis's per-device slab geometry."""
     if extent % n_dev != 0:
@@ -182,7 +202,8 @@ def halo_predict(gen_apply: Callable, params, vol: jax.Array, mesh: Mesh,
                  buffer: int, batched: bool = False,
                  data_axis: str | None = None,
                  y_axis: str | None = None,
-                 x_axis: str | None = None) -> jax.Array:
+                 x_axis: str | None = None,
+                 auto_pad: bool = True) -> jax.Array:
     """One-shot convenience wrapper: shard vol over 'space' and predict.
 
     vol: (Z, Y, X, 1) volume or (Y, X, 1) image, leading axis sharded —
@@ -192,6 +213,13 @@ def halo_predict(gen_apply: Callable, params, vol: jax.Array, mesh: Mesh,
     mesh).  ``y_axis`` / ``x_axis``: also shard the second / third spatial
     axis over those mesh axes (2-D z x y or full 3-D z x y x x spatial
     decomposition, make_mesh(space=, space_y=, space_x=)).
+
+    auto_pad (default True): arbitrary extents on SHARDED axes are accepted
+    by zero-padding each to the nearest valid slab geometry and cropping
+    the output back — the same zeros-outside-volume semantics the tiled
+    paths use (and that edge shards already see beyond the volume), so the
+    result is bit-equal to the aligned call on the original extent.  Pass
+    ``auto_pad=False`` to keep the strict ValueError behavior.
     """
     n_space = mesh.shape.get(SPACE_AXIS)
     if n_space is None:
@@ -200,6 +228,27 @@ def halo_predict(gen_apply: Callable, params, vol: jax.Array, mesh: Mesh,
             f"{tuple(mesh.shape)}); use parallel.make_mesh(n, space=...)")
     ndim_spatial = vol.ndim - (2 if batched else 1)
     off = 1 if batched else 0
+    if auto_pad:
+        # (block axis position, devices on it) per sharded spatial axis;
+        # unknown mesh axes are left alone so halo_predict_fn raises its
+        # usual diagnostic.
+        sharded_pos = [(off, n_space)]
+        for i, ax in enumerate((y_axis, x_axis)):
+            if ax is not None and ax in mesh.shape and off + 1 + i < off + \
+                    ndim_spatial:
+                sharded_pos.append((off + 1 + i, int(mesh.shape[ax])))
+        pad_widths = [(0, 0)] * vol.ndim
+        crops = []
+        for pos, n_dev in sharded_pos:
+            extent = vol.shape[pos]
+            padded = _padded_extent(extent, n_dev, buffer)
+            if padded != extent:
+                pad_widths[pos] = (0, padded - extent)
+                crops.append((pos, extent))
+        if crops:
+            vol = jnp.pad(vol, pad_widths)
+    else:
+        crops = []
     z_extent = vol.shape[off]
     y_extent = vol.shape[off + 1] if y_axis is not None else None
     x_extent = vol.shape[off + 2] if x_axis is not None else None
@@ -210,4 +259,7 @@ def halo_predict(gen_apply: Callable, params, vol: jax.Array, mesh: Mesh,
     names = [SPACE_AXIS] + [a for a in (y_axis, x_axis) if a is not None]
     spec = _vol_spec(batched, data_axis, names, ndim_spatial)
     vol = jax.device_put(vol, NamedSharding(mesh, spec))
-    return f(params, vol)
+    out = f(params, vol)
+    for pos, extent in crops:
+        out = lax.slice_in_dim(out, 0, extent, axis=pos)
+    return out
