@@ -1,22 +1,34 @@
-"""Serving-fleet benchmark: concurrent 64-aligned chunk requests through the
-real ModelService HTTP path, cross-request batching OFF vs ON.
+"""Serving-fleet benchmarks over the real HTTP paths.
 
-The reference's production scale-out is a fan-out of many small concurrent
-chunk requests against one cached model (model_cloudrun/transferem.py:66-73,
-each request predicting its 64^3 chunk on its own).  Independently served,
-each request runs tiny device batches (8 tiles of 74^3 per 64^3 chunk);
-``infer.TileBatcher`` (ModelService default) coalesces concurrent requests'
-tiles into shared device batches.  This bench measures the END-TO-END fleet
-wall time — HTTP in, host fetch, H2D, predict, D2H, gzip ng-block write —
-for the same fleet with ``cross_batch`` off and on, on the real chip.
+Sections (``python bench_serve.py [model|data|combined]``, default model):
+
+* ``model`` — concurrent 64-aligned chunk requests through the ModelService,
+  cross-request batching OFF vs ON.  The reference's production scale-out is
+  a fan-out of many small concurrent chunk requests against one cached model
+  (model_cloudrun/transferem.py:66-73, each request predicting its 64^3
+  chunk on its own).  Independently served, each request runs tiny device
+  batches (8 tiles of 74^3 per 64^3 chunk); ``infer.TileBatcher``
+  (ModelService default) coalesces concurrent requests' tiles into shared
+  device batches.  Measures END-TO-END fleet wall time — HTTP in, host
+  fetch, H2D, predict, D2H, gzip ng-block write — on the real chip.
+
+* ``data`` — a >=16-client fleet of /volume (64^3 raw) + /slice (256^2 PNG)
+  requests against the DataService, single-process threaded vs prefork
+  multi-worker (the reference's production data service ran gunicorn 9
+  workers x 2 threads, cloudrun_functions/Dockerfile CMD).  JAX-free.
+
+* ``combined`` — streamed training (BASELINE config 4: volume3d_ng -> warp +
+  augment -> EM2EM.train_step) pulling tiles through the SAME DataService a
+  16-client fleet is hammering; reports the training rate and fleet rate
+  under contention vs alone.
 
 Caveat (same as bench_infer's stream section): on this rig every device
 transfer rides a ~15 MB/s tunnel with ~28 ms/call latency, so e2e numbers
-under-state a real TPU host; the tunnel cost is IDENTICAL in both modes, so
-the delta isolates what batching buys (dispatch count + device batch size).
+under-state a real TPU host; the tunnel cost is IDENTICAL in the compared
+modes, so each delta isolates what the lever buys.
 
-Prints one JSON line {"metric": "serve_fleet_mvox_per_sec", ...} where the
-value is the batched mode and vs_baseline is the speedup over unbatched.
+Each section prints one JSON line; for ``model`` the value is the batched
+mode and vs_baseline the speedup over unbatched.
 """
 
 import concurrent.futures as cf
@@ -37,6 +49,179 @@ CHUNK = 64
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def bench_data_fleet(n_clients=16, reqs_per_client=24, worker_grid=(0, 4, 8)):
+    """Data-service fleet load (VERDICT r2 item 1).  JAX-free on purpose:
+    measures HTTP + numpy tobytes + PIL encode throughput, single process vs
+    prefork workers."""
+    import numpy as np
+    import requests
+
+    from transfer_em_tpu.serve import NumpyVolume, register_volume
+    from transfer_em_tpu.serve.data_service import DataService
+
+    rng = np.random.default_rng(0)
+    vol = rng.integers(0, 255, size=(256, 256, 256), dtype=np.uint8)
+    register_volume("benchbucket/vol", NumpyVolume(vol))
+
+    def client(url, cid, session):
+        # Alternate raw 64^3 /volume reads and distinct-z 256^2 PNG slices
+        # (distinct keys -> every slice is a real encode, not an LRU hit).
+        vox = 0
+        for i in range(reqs_per_client):
+            if i % 2 == 0:
+                start = [64 * ((cid + i) % 4), 64 * (cid % 4), 64 * (i % 4)]
+                cfg = {"location": "benchbucket/vol", "start": start,
+                       "size": [64, 64, 64]}
+                r = session.post(url + "/volume", data=json.dumps(cfg))
+                assert r.status_code == 200 and len(r.content) == 64 ** 3
+                vox += 64 ** 3
+            else:
+                z = (cid * reqs_per_client + i) % 256
+                r = session.get(f"{url}/slice/0_0_{z}/256_256_1/png"
+                                f"?location=benchbucket/vol")
+                assert r.status_code == 200
+                vox += 256 * 256
+        return vox
+
+    results = {}
+    for workers in worker_grid:
+        svc = DataService(workers=workers)
+        svc.start()
+        try:
+            sessions = [requests.Session() for _ in range(n_clients)]
+            best = None
+            for rep in range(1 + REPS):  # rep 0 warms connections/caches
+                t0 = time.perf_counter()
+                with cf.ThreadPoolExecutor(max_workers=n_clients) as ex:
+                    vox = sum(ex.map(lambda c: client(svc.url, c[0], c[1]),
+                                     enumerate(sessions)))
+                dt = time.perf_counter() - t0
+                if rep:
+                    best = min(best, dt) if best else dt
+            nreq = n_clients * reqs_per_client
+            results[workers] = (nreq / best, vox / best / 1e6)
+            log(f"data fleet workers={workers}: {nreq} reqs best {best:.2f}s"
+                f" = {nreq / best:.0f} req/s, {vox / best / 1e6:.1f} Mvox/s")
+        finally:
+            svc.stop()
+
+    single = results[worker_grid[0]][0]
+    best_w = max(results, key=lambda w: results[w][0])
+    print(json.dumps({
+        "metric": "data_fleet_req_per_sec",
+        "value": round(results[best_w][0], 1), "unit": "req/s",
+        "vs_baseline": round(results[best_w][0] / single, 3),
+        "note": f"{n_clients} clients; best workers={best_w}; "
+                f"vs_baseline = vs single-process threaded"}))
+
+
+def bench_combined(n_clients=16, batch=8, epoch_size=32, extent=192,
+                   workers=8):
+    """Streamed training + data-service fleet sharing one DataService
+    (VERDICT r2 item 1 'combined case')."""
+    import threading
+
+    import numpy as np
+    import requests
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "examples"))
+    from streaming_training_3d_local import synth_volume
+
+    from transfer_em_tpu.data import (create_dataset_from_generator,
+                                      volume3d_ng)
+    from transfer_em_tpu.debug import warp
+    from transfer_em_tpu.serve import NumpyVolume, register_volume
+    from transfer_em_tpu.serve.data_service import DataService
+    from transfer_em_tpu.train import EM2EM
+
+    vol = synth_volume(extent=extent)
+    register_volume("benchbucket/em", NumpyVolume(vol))
+    svc = DataService(workers=workers)
+    svc.start()
+
+    stop_fleet = threading.Event()
+    fleet_reqs = [0]
+
+    def fleet_client(cid):
+        session = requests.Session()
+        i = 0
+        while not stop_fleet.is_set():
+            if i % 2 == 0:
+                start = [64 * ((cid + i) % 2), 64 * (cid % 2), 64 * (i % 2)]
+                cfg = {"location": "benchbucket/em", "start": start,
+                       "size": [64, 64, 64]}
+                r = session.post(svc.url + "/volume", data=json.dumps(cfg))
+            else:
+                z = (cid * 97 + i) % extent
+                r = session.get(f"{svc.url}/slice/0_0_{z}/128_128_1/png"
+                                f"?location=benchbucket/em")
+            assert r.status_code == 200
+            fleet_reqs[0] += 1  # races lose a few counts; fine for a bench
+            i += 1
+
+    try:
+        import shutil
+        shutil.rmtree("./checkpoints/train_bench_comb", ignore_errors=True)
+        bbox = ((0, 0, 0), (extent,) * 3)
+        src_y = volume3d_ng("benchbucket/em", bbox, size=74, seed=22,
+                            cloudrun=svc.url)
+        src_x = volume3d_ng("benchbucket/em", bbox, size=74, seed=11,
+                            cloudrun=svc.url)
+        ds_y, _ = create_dataset_from_generator(
+            src_y, batch_size=batch, epoch_size=epoch_size,
+            enable_augmentation=True)
+        ds_x, _ = create_dataset_from_generator(
+            src_x, batch_size=batch, epoch_size=epoch_size,
+            custom_map=warp, enable_augmentation=True)
+        model = EM2EM(74, "bench_comb", is3d=True, wf=8,
+                      compute_dtype="bfloat16")
+
+        def epoch():
+            n = 0
+            for bx, by in zip(ds_x, ds_y):
+                losses = model.train_step(bx, by)
+                n += batch
+            np.asarray(losses)  # value-fetch barrier
+            return n
+
+        epoch()  # warm: compile + prefetch
+        t0 = time.perf_counter()
+        n = epoch()
+        alone = n / (time.perf_counter() - t0)
+        log(f"combined: train alone {alone:.2f} tiles/s")
+
+        threads = [threading.Thread(target=fleet_client, args=(c,),
+                                    daemon=True) for c in range(n_clients)]
+        for t in threads:
+            t.start()
+        time.sleep(1.0)  # let the fleet saturate
+        fleet_reqs[0] = 0
+        t0 = time.perf_counter()
+        n = epoch()
+        dt = time.perf_counter() - t0
+        contended = n / dt
+        fleet_rate = fleet_reqs[0] / dt
+        stop_fleet.set()
+        for t in threads:
+            t.join(timeout=10)
+        log(f"combined: train under {n_clients}-client fleet "
+            f"{contended:.2f} tiles/s; fleet sustained {fleet_rate:.0f} "
+            f"req/s during the epoch")
+        print(json.dumps({
+            "metric": "combined_stream_train_tiles74_per_sec",
+            "value": round(contended, 2), "unit": "tiles/s",
+            "vs_baseline": round(contended / alone, 3),
+            "note": f"config-4 streaming train while {n_clients} clients "
+                    f"read (fleet {fleet_rate:.0f} req/s); vs_baseline = "
+                    f"vs train alone; DataService workers={workers}"}))
+    finally:
+        stop_fleet.set()
+        svc.stop()
+        import shutil
+        shutil.rmtree("./checkpoints/train_bench_comb", ignore_errors=True)
 
 
 def main():
@@ -92,7 +277,10 @@ def main():
     results = {}
     for tag, kwargs in (("unbatched", dict(cross_batch=False)),
                         ("batched", dict(cross_batch=True))):
-        svc = ModelService(model_root=root, **kwargs)
+        # max_inflight=n_req: admit the whole fleet at once so the bench
+        # isolates the batching lever (the default 8 would serialize the
+        # fleet in waves of 8 — a deployment choice, not what we measure).
+        svc = ModelService(model_root=root, max_inflight=n_req, **kwargs)
         svc.start()
         try:
             warm = run_fleet(svc, tag)  # compiles + caches program shapes
@@ -119,4 +307,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    which = sys.argv[1] if len(sys.argv) > 1 else "model"
+    if which == "data":
+        bench_data_fleet()
+    elif which == "combined":
+        bench_combined()
+    else:
+        main()

@@ -84,6 +84,50 @@ def test_data_service_concurrent_requests(volume, data_service):
             np.testing.assert_array_equal(got, volume[z0:z1, y0:y1, x0:x1])
 
 
+def test_data_service_prefork_workers(volume):
+    """DataService(workers=N) serves from N prefork processes sharing one
+    listening socket (reference production shape: gunicorn 9 workers x 2
+    threads, cloudrun_functions/Dockerfile CMD): concurrent /volume and
+    /slice requests all return the right bytes, and stop() reaps every
+    worker."""
+    import concurrent.futures as cf
+
+    svc = DataService(workers=4)
+    svc.start()
+    try:
+        assert len(svc._pids) == 4
+        assert urllib.request.urlopen(svc.url + "/healthz").read() == b"ok"
+
+        boxes = [[(z, z + 1, z + 2), (z + 16, z + 17, z + 18)]
+                 for z in range(0, 96, 6)]
+
+        def fetch(box):
+            return box, fetch_subvolume(svc.url, "testbucket/vol", box)
+
+        with cf.ThreadPoolExecutor(max_workers=16) as ex:
+            for box, got in ex.map(fetch, boxes):
+                (z0, y0, x0), (z1, y1, x1) = box
+                np.testing.assert_array_equal(
+                    got, volume[z0:z1, y0:y1, x0:x1])
+
+        # PIL slice encoding inside a forked worker
+        url = (f"{svc.url}/slice/5_10_20/16_16_1/png"
+               f"?location=testbucket/vol")
+        from PIL import Image
+        import io
+        img = np.asarray(Image.open(io.BytesIO(
+            urllib.request.urlopen(url).read())))
+        np.testing.assert_array_equal(
+            img, np.squeeze(volume[20:21, 10:26, 5:21]))
+        pids = list(svc._pids)
+    finally:
+        svc.stop()
+    assert svc._pids == []
+    for pid in pids:  # all reaped: kill(0) must fail
+        with pytest.raises(OSError):
+            os.kill(pid, 0)
+
+
 def test_data_service_volume_raw_bytes_contract(volume, data_service):
     """POST /volume returns C-order zyx bytes (== F-order xyz), like the
     reference service (cloudrun_functions/transferem.py:146-180)."""
@@ -352,6 +396,159 @@ def test_healthz_routes(data_service, tmp_path):
     svc.start()
     try:
         assert urllib.request.urlopen(svc.url + "/healthz").read() == b"ok"
+    finally:
+        svc.stop()
+
+
+def _model_root(exported, tmp_path):
+    root = tmp_path / "models"
+    os.makedirs(root / "m1", exist_ok=True)
+    os.symlink(exported[0], root / "m1" / "v1")
+    return root
+
+
+def _chunk_config(dest, start=(0, 0, 0)):
+    return {"location": "testbucket/vol", "start": list(start),
+            "glbstart": [0, 0, 0], "size": [64, 64, 64],
+            "model_name": "m1:v1", "dest": str(dest)}
+
+
+def test_model_service_backpressure_503(exported, volume, tmp_path,
+                                        monkeypatch):
+    """max_inflight bounds concurrent chunk computes; the overflow request
+    gets an immediate 503 + Retry-After instead of queueing (the reference
+    delegated this to Cloud Run concurrency 8, cloudrun_functions/
+    README.md:60-66 — self-hosted, we own it)."""
+    import threading
+
+    import requests
+    from transfer_em_tpu.serve import model_service as ms
+
+    started, release = threading.Event(), threading.Event()
+
+    def slow_predict(fetch_tile, gen_apply, params, start, size, *a, **kw):
+        started.set()
+        assert release.wait(timeout=60)
+        return np.zeros(tuple(reversed(size)), np.uint8)
+
+    monkeypatch.setattr(ms, "predict_tiled", slow_predict)
+    root = _model_root(exported, tmp_path)
+    svc = ModelService(model_root=str(root), max_inflight=1,
+                       cross_batch=False)
+    svc.start()
+    try:
+        cfg = _chunk_config(tmp_path / "bp")
+        codes = {}
+
+        def first():
+            codes["first"] = requests.post(svc.url + "/",
+                                           json=cfg).status_code
+
+        t = threading.Thread(target=first)
+        t.start()
+        assert started.wait(timeout=60)
+        r2 = requests.post(svc.url + "/", json=cfg)
+        assert r2.status_code == 503
+        assert r2.headers["Retry-After"] == "2"
+        release.set()
+        t.join(timeout=60)
+        assert codes["first"] == 200
+        s = json.loads(urllib.request.urlopen(svc.url + "/stats").read())
+        assert s["requests"]["limit"] == 1
+        assert s["requests"]["admitted"] == 1
+        assert s["requests"]["rejected"] == 1
+    finally:
+        release.set()
+        svc.stop()
+
+
+def test_model_service_disconnect_frees_slot(exported, volume, tmp_path,
+                                             monkeypatch):
+    """A client that hangs up mid-compute cancels its request (per-tile
+    should_cancel poll sees the closed socket) and frees its admission
+    slot — later requests on a max_inflight=1 service still succeed."""
+    import socket as socket_mod
+    import threading
+    import time
+
+    import requests
+    from transfer_em_tpu.infer.tiling import InferenceCancelled
+    from transfer_em_tpu.serve import model_service as ms
+
+    cancelled = threading.Event()
+    calls = []
+
+    def stub(fetch_tile, gen_apply, params, start, size, *a,
+             should_cancel=None, **kw):
+        calls.append(1)
+        if len(calls) == 1:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if should_cancel():
+                    cancelled.set()
+                    raise InferenceCancelled("client gone")
+                time.sleep(0.005)
+            raise AssertionError("disconnect never observed")
+        return np.zeros(tuple(reversed(size)), np.uint8)
+
+    monkeypatch.setattr(ms, "predict_tiled", stub)
+    root = _model_root(exported, tmp_path)
+    svc = ModelService(model_root=str(root), max_inflight=1,
+                       cross_batch=False)
+    svc.start()
+    try:
+        cfg = _chunk_config(tmp_path / "dc")
+        body = json.dumps(cfg).encode()
+        host, port = svc.server.server_address[:2]
+        s = socket_mod.create_connection((host, port))
+        s.sendall((f"POST / HTTP/1.1\r\nHost: t\r\n"
+                   f"Content-Length: {len(body)}\r\n"
+                   "Content-Type: application/json\r\n\r\n").encode() + body)
+        time.sleep(0.2)  # let the handler start computing
+        s.close()        # client walks away
+        assert cancelled.wait(timeout=60)
+        # The admission slot frees as the cancelled handler unwinds; a
+        # normal request (brief retry for the release race) then succeeds.
+        r = None
+        for _ in range(200):
+            r = requests.post(svc.url + "/",
+                              json=_chunk_config(tmp_path / "dc2"))
+            if r.status_code != 503:
+                break
+            time.sleep(0.05)
+        assert r.status_code == 200
+    finally:
+        svc.stop()
+
+
+def test_model_service_request_timeout_504(exported, volume, tmp_path,
+                                           monkeypatch):
+    """request_timeout_s bounds per-request compute: past the deadline the
+    per-tile poll cancels the run and the client gets 504."""
+    import time
+
+    import requests
+    from transfer_em_tpu.infer.tiling import InferenceCancelled
+    from transfer_em_tpu.serve import model_service as ms
+
+    def stub(fetch_tile, gen_apply, params, start, size, *a,
+             should_cancel=None, **kw):
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if should_cancel():
+                raise InferenceCancelled("deadline")
+            time.sleep(0.005)
+        raise AssertionError("timeout never observed")
+
+    monkeypatch.setattr(ms, "predict_tiled", stub)
+    root = _model_root(exported, tmp_path)
+    svc = ModelService(model_root=str(root), request_timeout_s=0.1,
+                       cross_batch=False)
+    svc.start()
+    try:
+        r = requests.post(svc.url + "/", json=_chunk_config(tmp_path / "to"))
+        assert r.status_code == 504
+        assert "timed out" in r.text
     finally:
         svc.stop()
 

@@ -217,6 +217,46 @@ def test_predict_tiled_out_memmap(tmp_path):
         predict_tiled(*args, out=np.zeros((30, 40, 50), np.float32))
 
 
+def test_predict_tiled_should_cancel():
+    """should_cancel=True stops both compute loops promptly with
+    InferenceCancelled (the serving layer's client-disconnect hook)."""
+    from transfer_em_tpu.infer.batcher import make_tile_batcher
+    from transfer_em_tpu.infer.tiling import InferenceCancelled
+
+    gen = UNetGenerator(wf=32)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 74, 74, 74, 1)))
+    vol = np.zeros((150, 150, 150), np.uint8)
+
+    def fetch_tile(corner, insize):
+        return gather_blocks(vol, [corner], insize)[0]
+
+    args = (fetch_tile, gen.apply, params, (30, 40, 20), (76, 40, 72),
+            40, 17, (0.1, 0.9), (0.05, 1.1))
+
+    polls = []
+
+    def cancel_after_one():
+        polls.append(1)
+        return len(polls) > 1
+
+    with pytest.raises(InferenceCancelled):
+        predict_tiled(*args, batch_size=3, should_cancel=cancel_after_one)
+    assert len(polls) == 2  # polled per tile, stopped on the second
+
+    batcher = make_tile_batcher(gen.apply, params, (0.1, 0.9), (0.05, 1.1),
+                                outdimsize=40, buffer=17, max_batch=4)
+    try:
+        with pytest.raises(InferenceCancelled):
+            predict_tiled(*args, batcher=batcher,
+                          should_cancel=lambda: True)
+        # The batcher survives a cancelled request: later work still runs.
+        want = predict_tiled(*args, batch_size=3)
+        got = predict_tiled(*args, batcher=batcher)
+        np.testing.assert_array_equal(got, want)
+    finally:
+        batcher.close()
+
+
 def test_predict_tiled_out_with_batcher():
     """out= also routes through the shared-TileBatcher serving path."""
     from transfer_em_tpu.infer.batcher import make_tile_batcher

@@ -32,6 +32,11 @@ from ..ops.normalize import postprocess_to_u8, preprocess_u8
 from ..shapes import tile_plan_outdimsize
 
 
+class InferenceCancelled(RuntimeError):
+    """Raised by predict_tiled when its ``should_cancel`` callback fires
+    (client disconnect / request timeout in the serving layer)."""
+
+
 @dataclasses.dataclass(frozen=True)
 class TilePlan:
     """Static description of one tiled-inference run."""
@@ -153,6 +158,7 @@ def predict_tiled(
         mesh=None,
         batcher=None,
         out: Optional[np.ndarray] = None,
+        should_cancel: Optional[Callable[[], bool]] = None,
 ) -> np.ndarray | Tuple[np.ndarray, np.ndarray]:
     """Full tiled inference: fetch -> batched jitted predict -> stitch -> crop.
 
@@ -173,6 +179,10 @@ def predict_tiled(
         np.memmap, so gigavoxel requests through the host-tiles route are
         host-RAM-bounded like infer.stream's); tiles are scattered straight
         into it with edge clipping — no padded intermediate buffer.
+      should_cancel: optional zero-arg callable polled once per tile; when
+        it returns True the run stops promptly and raises
+        ``InferenceCancelled`` (the serving layer's client-disconnect /
+        request-timeout hook — no point finishing a chunk nobody will read).
     Returns:
       zyx uint8 array of ``size`` (``out`` if given), and the input volume
       if fetch_input.
@@ -203,7 +213,8 @@ def predict_tiled(
                     f"batcher was built for {attr}={built}, this request "
                     f"plans {planned} — outdimsize/buffer mismatch")
         return _predict_tiled_batched(batcher, fetch_tile, plan,
-                                      fetch_input, fetch_threads, out=out)
+                                      fetch_input, fetch_threads, out=out,
+                                      should_cancel=should_cancel)
     step = make_tile_step(gen_apply, params, meanstd_x, meanstd_y, plan.tpad,
                           sharding)
 
@@ -242,6 +253,8 @@ def predict_tiled(
         batch_idx.clear()
 
     for tile, idx in zip(fetched, plan.indices):
+        if should_cancel is not None and should_cancel():
+            raise InferenceCancelled("tiled inference cancelled")
         batch_tiles.append(np.asarray(tile, np.uint8))
         batch_idx.append(idx)
         if len(batch_tiles) == batch_size:
@@ -258,7 +271,9 @@ def predict_tiled(
 
 def _predict_tiled_batched(batcher, fetch_tile, plan: TilePlan,
                            fetch_input: bool, fetch_threads: int,
-                           out: Optional[np.ndarray] = None):
+                           out: Optional[np.ndarray] = None,
+                           should_cancel: Optional[Callable[[], bool]]
+                           = None):
     """predict_tiled's compute loop when a shared TileBatcher owns the
     device: submit tiles as they are fetched, scatter as futures resolve.
     In-flight tiles are capped at 4 batches' worth so a slow device bounds
@@ -291,6 +306,8 @@ def _predict_tiled_batched(batcher, fetch_tile, plan: TilePlan,
                               fetch_threads)
     cap = 4 * batcher.max_batch
     for tile, idx in zip(fetched, plan.indices):
+        if should_cancel is not None and should_cancel():
+            raise InferenceCancelled("tiled inference cancelled")
         t = np.asarray(tile, np.uint8)
         # .copy(): a view would pin the whole insize^3 tile in `pending`
         # (up to cap of them), ~8x the RAM the docstring's bound promises.

@@ -63,14 +63,28 @@ def fetch_subvolume(service_url: str, location: str, box_zyx,
 
 
 def predict_chunk(service_url: str, location: str, start, size, model_name: str,
-                  dest: str, glbstart=(0, 0, 0)) -> None:
+                  dest: str, glbstart=(0, 0, 0),
+                  max_wait_s: float = 300.0) -> None:
     """Ask the model service to predict a 64-aligned chunk and write ng
-    blocks to dest (reference model_cloudrun/transferem.py:46-53 contract)."""
+    blocks to dest (reference model_cloudrun/transferem.py:46-53 contract).
+
+    The service applies admission control (max_inflight): a 503 means "full,
+    retry" — this client honors Retry-After up to ``max_wait_s`` total, the
+    same behavior Cloud Run's frontend gave the reference's clients when a
+    revision hit its concurrency limit."""
+    import time
+
     import requests
     config = {"location": location, "start": list(start),
               "glbstart": list(glbstart), "size": list(size),
               "model_name": model_name, "dest": dest}
-    r = requests.post(service_url + "/", data=json.dumps(config),
-                      headers={"Content-type": "application/json"})
-    if r.status_code != 200:
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        r = requests.post(service_url + "/", data=json.dumps(config),
+                          headers={"Content-type": "application/json"})
+        if r.status_code == 200:
+            return
+        if r.status_code == 503 and time.monotonic() < deadline:
+            time.sleep(float(r.headers.get("Retry-After", 1)))
+            continue
         raise RuntimeError(r.content.decode())

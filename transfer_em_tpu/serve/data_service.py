@@ -136,12 +136,26 @@ def make_handler(slice_cache: LruCache):
 
 
 class DataService:
-    """Threaded HTTP service; ``start()`` returns the bound port."""
+    """Threaded HTTP service; ``start()`` returns the bound port.
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    ``workers=N`` runs N prefork worker PROCESSES all accepting from the one
+    inherited listening socket (classic gunicorn prefork — the reference's
+    production data service ran 9 gunicorn workers x 2 threads,
+    cloudrun_functions/Dockerfile CMD).  Each worker is itself threaded, so
+    concurrency is N processes x unbounded threads; CPU-bound slice/volume
+    encoding (PIL, gzip, tobytes) scales past the GIL.  Per-worker LRU
+    caches, same as the reference's per-gunicorn-worker caches.  Volumes
+    must be registered BEFORE ``start()`` — workers inherit the registry by
+    fork.  ``workers=0`` (default) keeps the single-process threaded server.
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 workers: int = 0):
         self.cache = LruCache()
         self.server = ThreadingHTTPServer((host, port),
                                           make_handler(self.cache))
+        self.workers = int(workers)
+        self._pids: list = []
         self._thread: Optional[threading.Thread] = None
 
     @property
@@ -154,12 +168,46 @@ class DataService:
         return f"http://{host}:{port}"
 
     def start(self) -> int:
+        if self.workers:
+            import os as os_mod
+            import signal
+
+            # Warm lazily-imported modules BEFORE forking: a fork taken
+            # while another thread holds an import lock would deadlock the
+            # child on its first `from PIL import Image`.
+            from PIL import Image  # noqa: F401
+            for _ in range(self.workers):
+                pid = os_mod.fork()
+                if pid == 0:  # worker: accept from the inherited socket
+                    try:
+                        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+                        self.server.serve_forever()
+                    finally:
+                        os_mod._exit(0)
+                self._pids.append(pid)
+            return self.port
         self._thread = threading.Thread(target=self.server.serve_forever,
                                         daemon=True)
         self._thread.start()
         return self.port
 
     def stop(self):
+        if self._pids:
+            import os as os_mod
+            import signal
+            for pid in self._pids:
+                try:
+                    os_mod.kill(pid, signal.SIGTERM)
+                except ProcessLookupError:
+                    pass
+            for pid in self._pids:
+                try:
+                    os_mod.waitpid(pid, 0)
+                except ChildProcessError:
+                    pass
+            self._pids = []
+            self.server.server_close()
+            return
         self.server.shutdown()
         if self._thread:
             self._thread.join(timeout=5)
@@ -182,8 +230,10 @@ def serve_until_signal(svc):  # pragma: no cover
 def main():  # pragma: no cover
     import os
     svc = DataService(host="0.0.0.0",
-                      port=int(os.environ.get("PORT", 8080)))
-    print(f"data service on {svc.url}")
+                      port=int(os.environ.get("PORT", 8080)),
+                      workers=int(os.environ.get("DATA_WORKERS", "0")))
+    print(f"data service on {svc.url} "
+          f"({svc.workers or 'single'}-process)")
     serve_until_signal(svc)
 
 

@@ -19,7 +19,10 @@ from __future__ import annotations
 import gzip
 import json
 import os
+import select
+import socket
 import threading
+import time
 import traceback
 from concurrent.futures import ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -28,10 +31,59 @@ from typing import Optional
 import numpy as np
 
 from ..infer.export import load_generator
-from ..infer.tiling import predict_tiled
+from ..infer.tiling import InferenceCancelled, predict_tiled
 from .backends import open_volume
 
 BLOCK = 64
+
+
+def _sock_eof(sock) -> bool:
+    """True when the peer has closed (or the socket is dead).
+
+    Non-blocking peek: the client sends its whole request before we start
+    computing, so any readable state mid-compute is either pipelined junk
+    (ignore) or EOF (they hung up).  Used as predict_tiled's should_cancel
+    hook — no point finishing a chunk nobody will read."""
+    try:
+        r, _, _ = select.select([sock], [], [], 0)
+        if not r:
+            return False
+        return sock.recv(1, socket.MSG_PEEK) == b""
+    except (OSError, ValueError):
+        return True
+
+
+class _Limiter:
+    """Bounded request admission (backpressure).
+
+    The reference delegated concurrency limiting to Cloud Run (concurrency 8,
+    cloudrun_functions/README.md:60-66); self-hosted, we own it: at most
+    ``limit`` chunk requests compute at once, the rest get an immediate
+    503 + Retry-After instead of queueing unboundedly on handler threads."""
+
+    def __init__(self, limit: int):
+        self.limit = int(limit)
+        self._sem = threading.BoundedSemaphore(self.limit)
+        self._lock = threading.Lock()
+        self.admitted = 0
+        self.rejected = 0
+
+    def try_acquire(self) -> bool:
+        ok = self._sem.acquire(blocking=False)
+        with self._lock:
+            if ok:
+                self.admitted += 1
+            else:
+                self.rejected += 1
+        return ok
+
+    def release(self):
+        self._sem.release()
+
+    def stats(self):
+        with self._lock:
+            return {"limit": self.limit, "admitted": self.admitted,
+                    "rejected": self.rejected}
 
 
 class BlockWriter:
@@ -155,21 +207,27 @@ class ModelCache:
             return s
 
 
-def make_handler(cache: ModelCache, mesh=None):
+def make_handler(cache: ModelCache, mesh=None, limiter: _Limiter = None,
+                 request_timeout_s: Optional[float] = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
 
-        def _send(self, code, body, ctype="text/plain"):
+        def _send(self, code, body, ctype="text/plain", headers=()):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            for k, v in headers:
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
         def do_GET(self):
             if self.path.rstrip("/") == "/stats":
-                body = json.dumps(cache.stats()).encode()
+                s = cache.stats()
+                if limiter is not None:
+                    s["requests"] = limiter.stats()
+                body = json.dumps(s).encode()
                 self._send(200, body, "application/json")
             elif self.path.rstrip("/") == "/healthz":
                 # Liveness/readiness for Cloud Run-style deployment.
@@ -178,9 +236,37 @@ def make_handler(cache: ModelCache, mesh=None):
                 self._send(404, b"unknown path")
 
         def do_POST(self):
+            # Read the (small JSON) body BEFORE any response so the client
+            # never sees a reset mid-upload, then apply admission control.
+            length = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(length)
+            if limiter is not None and not limiter.try_acquire():
+                self._send(503, b"too many concurrent requests",
+                           headers=[("Retry-After", "2")])
+                return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                config = json.loads(self.rfile.read(length))
+                self._predict(raw)
+            finally:
+                if limiter is not None:
+                    limiter.release()
+
+        def _predict(self, raw: bytes):
+            deadline = (time.monotonic() + request_timeout_s
+                        if request_timeout_s else None)
+            cancel_reason = [None]
+
+            def should_cancel():
+                # Polled once per tile inside predict_tiled.
+                if deadline is not None and time.monotonic() > deadline:
+                    cancel_reason[0] = "timeout"
+                    return True
+                if _sock_eof(self.connection):
+                    cancel_reason[0] = "disconnect"
+                    return True
+                return False
+
+            try:
+                config = json.loads(raw)
                 location = config["location"]
                 if location.startswith("gs://"):
                     location = location[len("gs://"):]
@@ -209,13 +295,22 @@ def make_handler(cache: ModelCache, mesh=None):
                     start, size, meta.outdimsize, meta.buffer,
                     meta.meanstd_x, meta.meanstd_y,
                     mesh=None if batcher is not None else mesh,
-                    batcher=batcher)
+                    batcher=batcher, should_cancel=should_cancel)
 
                 offset = [start[d] - glbstart[d] for d in range(3)]
                 write_ng_blocks(out_zyx, config["dest"], offset)
                 self._send(200, b"success")
+            except InferenceCancelled:
+                if cancel_reason[0] == "timeout":
+                    self._send(504, b"request timed out",
+                               headers=[("Retry-After", "2")])
+                # disconnect: the peer is gone, nothing to send — the
+                # handler thread just ends, freeing its admission slot.
             except Exception:
-                self._send(400, traceback.format_exc().encode())
+                try:
+                    self._send(400, traceback.format_exc().encode())
+                except OSError:
+                    pass  # client vanished mid-error: nothing to tell
 
     return Handler
 
@@ -226,7 +321,9 @@ class ModelService:
     def __init__(self, model_root: Optional[str] = None,
                  host: str = "127.0.0.1", port: int = 0, mesh=None,
                  cross_batch: bool = True, max_batch: int = 128,
-                 linger_ms: float = 5.0, cache_size: Optional[int] = None):
+                 linger_ms: float = 5.0, cache_size: Optional[int] = None,
+                 max_inflight: Optional[int] = None,
+                 request_timeout_s: Optional[float] = None):
         """``mesh``: optional Mesh with a 'data' axis — every request's tile
         batches fan out data-parallel across it (multi-chip serving for
         sources streamed from remote storage; VERDICT r1 item 4).
@@ -240,10 +337,27 @@ class ModelService:
 
         ``cache_size``: how many models stay resident (LRU).  Default 1 ==
         the reference's single-model cache; raise it (or set the
-        MODEL_CACHE_SIZE env var) for services that alternate models."""
+        MODEL_CACHE_SIZE env var) for services that alternate models.
+
+        ``max_inflight``: at most this many chunk requests compute at once;
+        excess requests get an immediate 503 + Retry-After rather than
+        piling up on handler threads.  Default 8 == the reference
+        deployment's Cloud Run concurrency (cloudrun_functions/
+        README.md:60-66); 0 disables admission control.  Env: MAX_INFLIGHT.
+
+        ``request_timeout_s``: per-request compute budget; past it the tile
+        loop stops and the client gets 504.  Default 600 s (Cloud Run
+        deploy's --timeout); 0 disables.  Env: REQUEST_TIMEOUT_S.  A
+        disconnected client cancels its request the same way (polled per
+        tile), so abandoned work never blocks the admission slots."""
         model_root = model_root or os.environ.get("MODEL_BUCKET", ".")
         if cache_size is None:
             cache_size = int(os.environ.get("MODEL_CACHE_SIZE", "1"))
+        if max_inflight is None:
+            max_inflight = int(os.environ.get("MAX_INFLIGHT", "8"))
+        if request_timeout_s is None:
+            request_timeout_s = float(os.environ.get("REQUEST_TIMEOUT_S",
+                                                     "600"))
         factory = None
         if cross_batch:
             from ..infer.batcher import make_tile_batcher
@@ -255,8 +369,11 @@ class ModelService:
                     max_batch=max_batch, linger_ms=linger_ms)
         self.cache = ModelCache(model_root, batcher_factory=factory,
                                 capacity=cache_size)
-        self.server = ThreadingHTTPServer((host, port),
-                                          make_handler(self.cache, mesh=mesh))
+        self.limiter = _Limiter(max_inflight) if max_inflight else None
+        handler = make_handler(
+            self.cache, mesh=mesh, limiter=self.limiter,
+            request_timeout_s=request_timeout_s or None)
+        self.server = ThreadingHTTPServer((host, port), handler)
         self._thread = None
 
     @property
