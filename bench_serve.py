@@ -117,6 +117,46 @@ def bench_data_fleet(n_clients=16, reqs_per_client=24, worker_grid=(0, 4, 8)):
                 f"vs_baseline = vs single-process threaded"}))
 
 
+def _spawn_data_service(volumes, workers):
+    """Start the data service as a CLEAN subprocess (python -m ...): forking
+    prefork workers from THIS process after jax/TPU init risks deadlock on
+    inherited locks (CLAUDE.md).  ``volumes``: {location: np.ndarray},
+    handed over via .npy files + the DATA_VOLUMES env contract.  Returns
+    (url, popen, tmpdir)."""
+    import socket
+    import subprocess
+    import urllib.request
+
+    tmp = tempfile.mkdtemp(prefix="bench_dsvc_")
+    import numpy as np
+    spec = []
+    for i, (name, arr) in enumerate(volumes.items()):
+        path = os.path.join(tmp, f"v{i}.npy")
+        np.save(path, arr)
+        spec.append(f"{name}={path}")
+    with socket.socket() as s:  # pick a free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ, PORT=str(port), DATA_WORKERS=str(workers),
+               DATA_VOLUMES=",".join(spec), JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "transfer_em_tpu.serve.data_service"],
+        env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    url = f"http://127.0.0.1:{port}"
+    deadline = time.time() + 30
+    while True:  # wait for readiness
+        try:
+            urllib.request.urlopen(url + "/healthz", timeout=1)
+            break
+        except Exception:
+            if time.time() > deadline or proc.poll() is not None:
+                proc.kill()
+                raise RuntimeError("data service subprocess failed to start")
+            time.sleep(0.2)
+    return url, proc, tmp
+
+
 def bench_combined(n_clients=16, batch=8, epoch_size=32, extent=192,
                    workers=8):
     """Streamed training + data-service fleet sharing one DataService
@@ -133,14 +173,12 @@ def bench_combined(n_clients=16, batch=8, epoch_size=32, extent=192,
     from transfer_em_tpu.data import (create_dataset_from_generator,
                                       volume3d_ng)
     from transfer_em_tpu.debug import warp
-    from transfer_em_tpu.serve import NumpyVolume, register_volume
-    from transfer_em_tpu.serve.data_service import DataService
     from transfer_em_tpu.train import EM2EM
 
     vol = synth_volume(extent=extent)
-    register_volume("benchbucket/em", NumpyVolume(vol))
-    svc = DataService(workers=workers)
-    svc.start()
+    url, svc_proc, svc_tmp = _spawn_data_service(
+        {"benchbucket/em": vol}, workers)
+    log(f"data service subprocess on {url} (workers={workers})")
 
     stop_fleet = threading.Event()
     fleet_reqs = [0]
@@ -153,10 +191,10 @@ def bench_combined(n_clients=16, batch=8, epoch_size=32, extent=192,
                 start = [64 * ((cid + i) % 2), 64 * (cid % 2), 64 * (i % 2)]
                 cfg = {"location": "benchbucket/em", "start": start,
                        "size": [64, 64, 64]}
-                r = session.post(svc.url + "/volume", data=json.dumps(cfg))
+                r = session.post(url + "/volume", data=json.dumps(cfg))
             else:
                 z = (cid * 97 + i) % extent
-                r = session.get(f"{svc.url}/slice/0_0_{z}/128_128_1/png"
+                r = session.get(f"{url}/slice/0_0_{z}/128_128_1/png"
                                 f"?location=benchbucket/em")
             assert r.status_code == 200
             fleet_reqs[0] += 1  # races lose a few counts; fine for a bench
@@ -167,9 +205,9 @@ def bench_combined(n_clients=16, batch=8, epoch_size=32, extent=192,
         shutil.rmtree("./checkpoints/train_bench_comb", ignore_errors=True)
         bbox = ((0, 0, 0), (extent,) * 3)
         src_y = volume3d_ng("benchbucket/em", bbox, size=74, seed=22,
-                            cloudrun=svc.url)
+                            cloudrun=url)
         src_x = volume3d_ng("benchbucket/em", bbox, size=74, seed=11,
-                            cloudrun=svc.url)
+                            cloudrun=url)
         ds_y, _ = create_dataset_from_generator(
             src_y, batch_size=batch, epoch_size=epoch_size,
             enable_augmentation=True)
@@ -219,8 +257,10 @@ def bench_combined(n_clients=16, batch=8, epoch_size=32, extent=192,
                     f"vs train alone; DataService workers={workers}"}))
     finally:
         stop_fleet.set()
-        svc.stop()
+        svc_proc.terminate()
+        svc_proc.wait(timeout=15)
         import shutil
+        shutil.rmtree(svc_tmp, ignore_errors=True)
         shutil.rmtree("./checkpoints/train_bench_comb", ignore_errors=True)
 
 

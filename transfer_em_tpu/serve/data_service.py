@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import threading
 import traceback
 from collections import OrderedDict
@@ -227,8 +228,26 @@ def serve_until_signal(svc):  # pragma: no cover
     svc.stop()
 
 
+def _register_env_volumes():  # pragma: no cover
+    """DATA_VOLUMES="name=/path/a.npy,other=/path/b.npy": serve local numpy
+    arrays under those locations (self-hosted analogue of the reference's
+    GCS-bucket locations; also what bench_serve's combined mode uses to hand
+    a synthetic volume to a CLEAN service process — forking workers from a
+    JAX-loaded process can deadlock on inherited locks)."""
+    import numpy as np
+
+    from .backends import NumpyVolume, register_volume
+
+    spec = os.environ.get("DATA_VOLUMES", "")
+    for item in filter(None, spec.split(",")):
+        name, path = item.split("=", 1)
+        register_volume(name.strip(),
+                        NumpyVolume(np.load(path.strip(), mmap_mode="r")))
+        print(f"registered volume {name.strip()} from {path.strip()}")
+
+
 def main():  # pragma: no cover
-    import os
+    _register_env_volumes()
     svc = DataService(host="0.0.0.0",
                       port=int(os.environ.get("PORT", 8080)),
                       workers=int(os.environ.get("DATA_WORKERS", "0")))
