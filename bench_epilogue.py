@@ -48,8 +48,13 @@ def convt(x, w):
 
 
 def epilogue(kind, y, key):
-    if kind == "train":  # Dropout(0.5) mask + scale, then LeakyReLU
+    if kind in ("train", "train_rbg"):  # Dropout(0.5) mask+scale, LeakyReLU
         keep = jax.random.bernoulli(key, 0.5, y.shape)
+        y = jnp.where(keep, y * 2.0, 0.0)
+    elif kind in ("train_u8", "train_u8rbg"):
+        # p=0.5 from ONE random byte per element (vs bernoulli's 32-bit
+        # uniform): 4x fewer RNG words.  128/256 == 0.5 exactly.
+        keep = jax.random.bits(key, y.shape, jnp.uint8) < 128
         y = jnp.where(keep, y * 2.0, 0.0)
     if kind != "bare":
         y = jnp.where(y >= 0, y, y * LEAK)
@@ -77,12 +82,20 @@ for name, sp, ci, co in LAYERS:
                     .astype(np.float32)).astype(jnp.bfloat16)
     w = jnp.asarray(rng.normal(size=(4, 4, 4, ci, co))
                     .astype(np.float32)).astype(jnp.bfloat16) * 0.05
+    rbg_key = jax.random.key(0, impl="rbg")
     row = {}
-    for kind in ("bare", "infer", "train"):
-        np.asarray(loop(kind, REPS, x, w, key))  # compile + warm
+    for kind in ("bare", "infer", "train", "train_rbg", "train_u8",
+                 "train_u8rbg"):
+        k = rbg_key if kind.endswith("rbg") else key
+        np.asarray(loop(kind, REPS, x, w, k))  # compile + warm
         t0 = time.perf_counter()
-        np.asarray(loop(kind, REPS, x, w, key))  # value fetch = barrier
+        np.asarray(loop(kind, REPS, x, w, k))  # value fetch = barrier
         row[kind] = (time.perf_counter() - t0) / REPS * 1e3
     print(f"{name}: bare {row['bare']:.3f} ms  +leaky {row['infer']:.3f} "
           f"(+{row['infer'] - row['bare']:.3f})  +dropout+leaky "
-          f"{row['train']:.3f} (+{row['train'] - row['bare']:.3f})")
+          f"{row['train']:.3f} (+{row['train'] - row['bare']:.3f})  "
+          f"+dropout[rbg]+leaky {row['train_rbg']:.3f} "
+          f"(+{row['train_rbg'] - row['bare']:.3f})  "
+          f"u8 {row['train_u8']:.3f} (+{row['train_u8'] - row['bare']:.3f})"
+          f"  u8rbg {row['train_u8rbg']:.3f} "
+          f"(+{row['train_u8rbg'] - row['bare']:.3f})")

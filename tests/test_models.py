@@ -233,3 +233,77 @@ def test_reference_named_api():
     # (reference models/generator.py:38 raises RuntimeError).
     with pytest.raises(RuntimeError):
         unet_generator(73)
+
+
+def test_rbg8_dropout_semantics():
+    """dropout_impl="rbg8" (config.py) draws each Dropout(0.5) mask from one
+    hardware-RBG byte per element instead of threefry bernoulli (reference
+    semantics: tf.keras Dropout(0.5) in upsample, models/utils.py:104).  It
+    must keep iid Bernoulli(0.5) statistics, the 1/keep (=2x) scaling of the
+    survivors, per-key determinism, and be a no-op when deterministic."""
+    from transfer_em_tpu.models.blocks import UpBlock
+
+    x = jnp.ones((2, 20, 20, 8))
+    kinit = jax.random.PRNGKey(0)
+    ref = UpBlock(16, dropout_impl="ref")
+    rbg = UpBlock(16, dropout_impl="rbg8")
+    params = ref.init(kinit, x)  # identical param tree either way
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(rbg.init(kinit, x))
+
+    # Deterministic mode ignores dropout_impl entirely.
+    np.testing.assert_array_equal(
+        np.asarray(ref.apply(params, x, deterministic=True)),
+        np.asarray(rbg.apply(params, x, deterministic=True)))
+
+    k = jax.random.PRNGKey(7)
+    y1 = np.asarray(rbg.apply(params, x, deterministic=False,
+                              rngs={"dropout": k}))
+    y2 = np.asarray(rbg.apply(params, x, deterministic=False,
+                              rngs={"dropout": k}))
+    np.testing.assert_array_equal(y1, y2)  # same key -> same mask
+    y3 = np.asarray(rbg.apply(params, x, deterministic=False,
+                              rngs={"dropout": jax.random.PRNGKey(8)}))
+    assert (y1 != y3).any()                # different key -> different mask
+
+    # Mask statistics: pre-activation values are either 0 or 2x the kept
+    # convT output.  Compare against the deterministic (no-dropout) pass
+    # run up to the same point: dropped lanes are exactly 0 pre-LeakyReLU
+    # (post-LeakyReLU zeros stay zero), kept lanes are 2x.
+    det = np.asarray(ref.apply(params, x, deterministic=True))
+    dropped = (y1 == 0.0) & (det != 0.0)
+    kept = ~dropped
+    frac = dropped.mean()
+    assert 0.45 < frac < 0.55              # Bernoulli(0.5) over ~23k elems
+    np.testing.assert_allclose(y1[kept], (det * 2.0)[kept],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_rbg8_generator_trains_and_matches_ref_stats():
+    """UNetGenerator(dropout_impl="rbg8") — the config.py default train
+    path — runs forward+backward in train mode and produces gradients of
+    the same tree structure and comparable magnitude as the "ref" impl."""
+    gen_rbg = UNetGenerator(wf=8, dropout_impl="rbg8")
+    gen_ref = UNetGenerator(wf=8, dropout_impl="ref")
+    x = jnp.ones((1, 74, 74, 1)) * 0.1
+    params = gen_rbg.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, gen):
+        y = gen.apply(p, x, deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(3)})
+        return jnp.mean(y ** 2)
+
+    g_rbg = jax.grad(lambda p: loss(p, gen_rbg))(params)
+    g_ref = jax.grad(lambda p: loss(p, gen_ref))(params)
+    assert jax.tree_util.tree_structure(g_rbg) == \
+        jax.tree_util.tree_structure(g_ref)
+    n_rbg = float(optax_global_norm(g_rbg))
+    n_ref = float(optax_global_norm(g_ref))
+    assert np.isfinite(n_rbg) and n_rbg > 0
+    # Different masks, same distribution: norms within 3x of each other.
+    assert n_rbg / n_ref < 3 and n_ref / n_rbg < 3
+
+
+def optax_global_norm(tree):
+    import optax
+    return optax.global_norm(tree)

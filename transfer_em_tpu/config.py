@@ -31,6 +31,12 @@ class CycleGANConfig:
     ensemble_apps: bool = False     # stack G/F (and Dx/Dy) param trees and
     # run each train-step round as one vmapped apply (grouped convs, half
     # the program count) — see cyclegan_losses(ensemble_apps=...)
+    dropout_impl: str = "rbg8"      # dropout-mask generator: "rbg8" draws
+    # one uint8/element from the TPU-native XLA RngBitGenerator (measured
+    # ~zero cost — the mask fuses into the convT epilogue), "ref" keeps
+    # threefry bernoulli (the masks the rounds-1/2 records were trained
+    # with; +35-80% on each up-block convT, PERF.md lever-4 closure).
+    # Statistically identical iid Bernoulli(0.5) masks either way.
     accum_steps: int = 1            # gradient accumulation: split each batch
     # into this many microbatches, lax.scan the backward over them, and apply
     # ONE optimizer update from the averaged gradients.  Peak activation

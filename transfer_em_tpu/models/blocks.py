@@ -191,6 +191,7 @@ class UpBlock(nn.Module):
     apply_dropout: bool = True
     compute_dtype: Optional[jnp.dtype] = None
     fast_conv: bool = False
+    dropout_impl: str = "ref"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
@@ -207,5 +208,20 @@ class UpBlock(nn.Module):
         y = ConvTransposeND(self.features, 4, 2,
                             compute_dtype=self.compute_dtype, name="up")(y)
         if self.apply_dropout:
-            y = nn.Dropout(rate=0.5, deterministic=deterministic)(y)
+            if deterministic:
+                pass
+            elif self.dropout_impl == "rbg8":
+                # Dropout(0.5) mask from ONE random byte per element
+                # (128/256 == 0.5 exactly; same iid Bernoulli semantics and
+                # 1/keep scaling as nn.Dropout).  With an 'rbg'-impl key the
+                # XLA RngBitGenerator emits the bytes at measured ~zero cost
+                # where threefry bernoulli costs +35-80% of the convT it
+                # rides (bench_epilogue.py, PERF.md lever-4 closure); the
+                # train step converts the step key to rbg
+                # (train/cgan.py compute_losses).
+                key = self.make_rng("dropout")
+                keep = jax.random.bits(key, y.shape, jnp.uint8) < 128
+                y = jnp.where(keep, y * 2.0, jnp.zeros_like(y))
+            else:
+                y = nn.Dropout(rate=0.5, deterministic=False)(y)
         return leaky_relu(y)

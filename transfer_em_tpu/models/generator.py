@@ -46,6 +46,7 @@ class UNetGenerator(nn.Module):
     use_norm: bool = False
     compute_dtype: Optional[jnp.dtype] = None
     fast_conv: bool = False
+    dropout_impl: str = "ref"  # "rbg8": uint8 hardware-RBG masks (blocks.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
@@ -64,7 +65,8 @@ class UNetGenerator(nn.Module):
                                  name="down2")(down1)
 
         up1 = UpBlock(128 // self.wf, use_norm=self.use_norm,
-                      compute_dtype=cd, fast_conv=fc, name="up1")(
+                      compute_dtype=cd, fast_conv=fc,
+                      dropout_impl=self.dropout_impl, name="up1")(
                           down2, deterministic=deterministic)
         skip1c = crop_to_match(skip1, up1)
         x = jnp.concatenate([up1, skip1c], axis=-1)
@@ -74,6 +76,7 @@ class UNetGenerator(nn.Module):
 
         up0 = UpBlock(64 // self.wf, use_norm=self.use_norm,
                       compute_dtype=cd, fast_conv=fc,
+                      dropout_impl=self.dropout_impl,
                       name="up0")(x, deterministic=deterministic)
         skip0c = crop_to_match(skip0, up0)
         x = jnp.concatenate([up0, skip0c], axis=-1)

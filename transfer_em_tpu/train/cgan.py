@@ -109,7 +109,8 @@ def build_models(config: CycleGANConfig,
         cd = None
     fc = config.fast_conv
     gen = UNetGenerator(wf=config.wf, use_norm=config.use_norm,
-                        compute_dtype=cd, fast_conv=fc)
+                        compute_dtype=cd, fast_conv=fc,
+                        dropout_impl=config.dropout_impl)
     disc_x = Discriminator(is3d=config.is3d, wf=config.wf,
                            use_norm=config.use_norm, compute_dtype=cd,
                            fast_conv=fc)
@@ -188,6 +189,17 @@ def cyclegan_losses(gen: UNetGenerator, disc_x: Discriminator,
     sg = jax.lax.stop_gradient
     dx_f = jax.tree.map(sg, dx)  # frozen discs for adversarial gen terms
     dy_f = jax.tree.map(sg, dy)
+    if not deterministic and getattr(gen, "dropout_impl", "ref") == "rbg8":
+        # TPU-native dropout-mask stream: re-seed an 'rbg' key from the step
+        # key so the XLA RngBitGenerator emits the uint8 mask bytes
+        # (measured ~free; threefry costs +35-80% of each up-block convT —
+        # bench_epilogue.py, PERF.md lever-4 closure).  fold_in/split
+        # upstream of this point stay threefry; only the per-application
+        # dropout keys below switch generator.
+        data = (jax.random.key_data(rng)
+                if jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key)
+                else rng)
+        rng = jax.random.wrap_key_data(jnp.tile(data, 2)[:4], impl="rbg")
     ks = jax.random.split(rng, 6)
     B = real_x.shape[0]
 
@@ -465,12 +477,14 @@ class EM2EM:
                  compute_dtype: str = "float32",
                  checkpoint_root: str = "./checkpoints",
                  seed: int = 0, remat: bool = False,
-                 ensemble_apps: bool = False, accum_steps: int = 1):
+                 ensemble_apps: bool = False, accum_steps: int = 1,
+                 dropout_impl: str = "rbg8"):
         del norm_type  # DEPRECATED upstream (cgan.py:47); norms stay disabled
         self.config = CycleGANConfig(
             dimsize=dimsize, is3d=is3d, wf=wf, focal_gamma=focal_gamma,
             compute_dtype=compute_dtype, remat=remat,
-            ensemble_apps=ensemble_apps, accum_steps=accum_steps)
+            ensemble_apps=ensemble_apps, accum_steps=accum_steps,
+            dropout_impl=dropout_impl)
         self.exp_name = exp_name
         shapes = generator_shapes(dimsize)
         assert shapes.out % 2 == 0  # cgan.py:64
