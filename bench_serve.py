@@ -201,7 +201,6 @@ def bench_combined(n_clients=16, batch=8, epoch_size=32, extent=192,
             i += 1
 
     try:
-        import shutil
         shutil.rmtree("./checkpoints/train_bench_comb", ignore_errors=True)
         bbox = ((0, 0, 0), (extent,) * 3)
         src_y = volume3d_ng("benchbucket/em", bbox, size=74, seed=22,
@@ -259,7 +258,6 @@ def bench_combined(n_clients=16, batch=8, epoch_size=32, extent=192,
         stop_fleet.set()
         svc_proc.terminate()
         svc_proc.wait(timeout=15)
-        import shutil
         shutil.rmtree(svc_tmp, ignore_errors=True)
         shutil.rmtree("./checkpoints/train_bench_comb", ignore_errors=True)
 

@@ -4,6 +4,8 @@ import base64
 import gzip
 import json
 import os
+import socket
+import sys
 import urllib.request
 
 import jax
@@ -84,25 +86,74 @@ def test_data_service_concurrent_requests(volume, data_service):
             np.testing.assert_array_equal(got, volume[z0:z1, y0:y1, x0:x1])
 
 
-def test_data_service_prefork_workers(volume):
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _children_of(pid):
+    # Aggregate over ALL the process's threads: a worker reforked by the
+    # monitor thread is listed under that thread's task entry, not the
+    # main thread's.
+    kids = []
+    try:
+        for tid in os.listdir(f"/proc/{pid}/task"):
+            with open(f"/proc/{pid}/task/{tid}/children") as f:
+                kids += [int(p) for p in f.read().split()]
+    except OSError:
+        pass
+    return kids
+
+
+def test_data_service_prefork_workers(volume, tmp_path):
     """DataService(workers=N) serves from N prefork processes sharing one
     listening socket (reference production shape: gunicorn 9 workers x 2
-    threads, cloudrun_functions/Dockerfile CMD): concurrent /volume and
-    /slice requests all return the right bytes, and stop() reaps every
-    worker."""
+    threads, cloudrun_functions/Dockerfile CMD), and the parent respawns
+    dead workers (gunicorn arbiter parity).  Driven through the CLI entry
+    in a CLEAN subprocess — forking workers from the jax-initialized pytest
+    process risks deadlock on inherited locks (CLAUDE.md), which is also
+    why bench_serve spawns its services the same way."""
     import concurrent.futures as cf
+    import signal
+    import subprocess
+    import time
 
-    svc = DataService(workers=4)
-    svc.start()
+    vol_path = tmp_path / "vol.npy"
+    np.save(vol_path, volume)
+    port = _free_port()
+    env = dict(os.environ,
+               DATA_VOLUMES=f"testbucket/vol={vol_path}",
+               DATA_WORKERS="4", PORT=str(port))
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "transfer_em_tpu.serve.data_service"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    url = f"http://127.0.0.1:{port}"
     try:
-        assert len(svc._pids) == 4
-        assert urllib.request.urlopen(svc.url + "/healthz").read() == b"ok"
+        deadline = time.time() + 30
+        while True:
+            try:
+                assert urllib.request.urlopen(url + "/healthz",
+                                              timeout=2).read() == b"ok"
+                break
+            except OSError:
+                assert time.time() < deadline, "service never came up"
+                time.sleep(0.1)
+        # healthz can answer after the FIRST fork, while the parent is
+        # still forking the rest — poll until the fleet is complete.
+        deadline = time.time() + 10
+        while True:
+            workers = _children_of(proc.pid)
+            if len(workers) == 4:
+                break
+            assert time.time() < deadline, workers
+            time.sleep(0.1)
 
         boxes = [[(z, z + 1, z + 2), (z + 16, z + 17, z + 18)]
                  for z in range(0, 96, 6)]
 
         def fetch(box):
-            return box, fetch_subvolume(svc.url, "testbucket/vol", box)
+            return box, fetch_subvolume(url, "testbucket/vol", box)
 
         with cf.ThreadPoolExecutor(max_workers=16) as ex:
             for box, got in ex.map(fetch, boxes):
@@ -111,21 +162,40 @@ def test_data_service_prefork_workers(volume):
                     got, volume[z0:z1, y0:y1, x0:x1])
 
         # PIL slice encoding inside a forked worker
-        url = (f"{svc.url}/slice/5_10_20/16_16_1/png"
-               f"?location=testbucket/vol")
+        surl = (f"{url}/slice/5_10_20/16_16_1/png"
+                f"?location=testbucket/vol")
         from PIL import Image
         import io
         img = np.asarray(Image.open(io.BytesIO(
-            urllib.request.urlopen(url).read())))
+            urllib.request.urlopen(surl).read())))
         np.testing.assert_array_equal(
             img, np.squeeze(volume[20:21, 10:26, 5:21]))
-        pids = list(svc._pids)
+
+        # Respawn: kill one worker; the monitor reforks it within ~1 s and
+        # the fleet keeps serving at full strength.
+        os.kill(workers[0], signal.SIGKILL)
+        deadline = time.time() + 10
+        while True:
+            alive = _children_of(proc.pid)
+            if len(alive) == 4 and workers[0] not in alive:
+                break
+            assert time.time() < deadline, (workers, alive)
+            time.sleep(0.1)
+        got = fetch_subvolume(url, "testbucket/vol",
+                              [(0, 0, 0), (8, 8, 8)])
+        np.testing.assert_array_equal(got, volume[:8, :8, :8])
+
+        # Clean shutdown on SIGTERM (Cloud Run contract): every worker dies.
+        workers = _children_of(proc.pid)
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=20) == 0
+        for pid in workers:
+            with pytest.raises(OSError):
+                os.kill(pid, 0)
     finally:
-        svc.stop()
-    assert svc._pids == []
-    for pid in pids:  # all reaped: kill(0) must fail
-        with pytest.raises(OSError):
-            os.kill(pid, 0)
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
 
 
 def test_data_service_volume_raw_bytes_contract(volume, data_service):

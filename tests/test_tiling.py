@@ -257,6 +257,76 @@ def test_predict_tiled_should_cancel():
         batcher.close()
 
 
+def test_cancel_fires_during_device_compute():
+    """Cancellation must unblock the request thread WHILE the device batch
+    is computing — the canonical serving shape (a 64-cube = 8 tiles) submits
+    all tiles in milliseconds and then lives in the drain wait for the whole
+    compute, so a per-tile-only poll would never fire (round-3 review
+    finding: model_service's disconnect/timeout path was inert for small
+    requests)."""
+    import time as _time
+
+    from transfer_em_tpu.infer.batcher import TileBatcher
+    from transfer_em_tpu.infer.tiling import InferenceCancelled
+
+    compute_s = 3.0
+
+    def slow_step(batch):
+        _time.sleep(compute_s)
+        return np.zeros((batch.shape[0], 36, 36, 36), np.uint8)
+
+    vol = np.zeros((150, 150, 150), np.uint8)
+
+    def fetch_tile(corner, insize):
+        return gather_blocks(vol, [corner], insize)[0]
+
+    args = (fetch_tile, None, None, (0, 0, 0), (72, 72, 72),
+            40, 17, (0.1, 0.9), (0.05, 1.1))
+
+    batcher = TileBatcher(slow_step, insize=74, outdimsize=36, buffer=19,
+                          max_batch=16)
+    try:
+        cancel_at = _time.monotonic() + 0.5
+        t0 = _time.monotonic()
+        with pytest.raises(InferenceCancelled):
+            predict_tiled(*args, batcher=batcher,
+                          should_cancel=lambda: _time.monotonic() > cancel_at)
+        elapsed = _time.monotonic() - t0
+        assert elapsed < compute_s - 0.5, elapsed  # unblocked mid-compute
+        # The batcher worker survives the abandoned batch.
+        got = predict_tiled(*args, batcher=batcher)
+        assert got.shape == (72, 72, 72)
+    finally:
+        batcher.close()
+
+
+def test_cancel_polled_before_device_dispatch():
+    """Unbatched path: a request whose tiles ALL arrive before the first
+    device dispatch (per-tile polls returned False) must still observe a
+    late cancel at the pre-dispatch poll in flush() instead of computing a
+    chunk nobody will read."""
+    from transfer_em_tpu.infer.tiling import InferenceCancelled
+
+    gen = UNetGenerator(wf=32)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 74, 74, 74, 1)))
+    vol = np.zeros((150, 150, 150), np.uint8)
+
+    def fetch_tile(corner, insize):
+        return gather_blocks(vol, [corner], insize)[0]
+
+    polls = [0]
+
+    def cancel_on_flush():
+        polls[0] += 1
+        return polls[0] > 8  # 8 tiles of the 72-cube -> 9th poll is flush's
+
+    with pytest.raises(InferenceCancelled):
+        predict_tiled(fetch_tile, gen.apply, params, (0, 0, 0), (72, 72, 72),
+                      40, 17, (0.1, 0.9), (0.05, 1.1), batch_size=8,
+                      should_cancel=cancel_on_flush)
+    assert polls[0] == 9
+
+
 def test_predict_tiled_out_with_batcher():
     """out= also routes through the shared-TileBatcher serving path."""
     from transfer_em_tpu.infer.batcher import make_tile_batcher

@@ -22,6 +22,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import dataclasses
 import functools
+import time
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -179,10 +180,16 @@ def predict_tiled(
         np.memmap, so gigavoxel requests through the host-tiles route are
         host-RAM-bounded like infer.stream's); tiles are scattered straight
         into it with edge clipping — no padded intermediate buffer.
-      should_cancel: optional zero-arg callable polled once per tile; when
-        it returns True the run stops promptly and raises
-        ``InferenceCancelled`` (the serving layer's client-disconnect /
-        request-timeout hook — no point finishing a chunk nobody will read).
+      should_cancel: optional zero-arg callable; when it returns True the
+        run stops and raises ``InferenceCancelled`` (the serving layer's
+        client-disconnect / request-timeout hook — no point finishing a
+        chunk nobody will read).  Polled per fetched tile, immediately
+        before each device dispatch, and — on the batcher path — every
+        0.2 s while awaiting shared-batch futures, so cancellation fires
+        mid-compute even for small requests whose tiles all fit one batch
+        (e.g. the 8-tile 64-cube serving shape).  Granularity: a device
+        batch already dispatched is not preempted (its result is
+        discarded), but the caller unblocks without waiting for it.
     Returns:
       zyx uint8 array of ``size`` (``out`` if given), and the input volume
       if fetch_input.
@@ -237,6 +244,10 @@ def predict_tiled(
     def flush():
         if not batch_tiles:
             return
+        # Last poll before committing a device dispatch: for small requests
+        # (one batch) this is the only cancellation point after fetch.
+        if should_cancel is not None and should_cancel():
+            raise InferenceCancelled("tiled inference cancelled")
         k = len(batch_tiles)
         arr = np.stack(batch_tiles)
         if k < batch_size:  # pad to static shape for jit
@@ -295,8 +306,26 @@ def _predict_tiled_batched(batcher, fetch_tile, plan: TilePlan,
             fut, idx, tin = pending.popleft()
             # Bounded wait: the batcher guarantees its futures resolve, but
             # a hang here would wedge the serving thread forever — surface
-            # a TimeoutError instead (600 s >> any compile + batch).
-            pred = fut.result(timeout=600)
+            # a TimeoutError instead (600 s >> any compile + batch).  While
+            # waiting, poll should_cancel every 0.2 s: for the canonical
+            # 64-cube request all 8 tiles are submitted in milliseconds and
+            # the request then lives HERE for the whole device compute — a
+            # client hangup or deadline must unblock this thread (and free
+            # its admission slot) without waiting for the batch.
+            if should_cancel is None:
+                pred = fut.result(timeout=600)
+            else:
+                t0 = time.monotonic()
+                while True:
+                    try:
+                        pred = fut.result(timeout=0.2)
+                        break
+                    except cf.TimeoutError:
+                        if should_cancel():
+                            raise InferenceCancelled(
+                                "tiled inference cancelled")
+                        if time.monotonic() - t0 > 600:
+                            raise
             scatter_tiles(out, pred[None], [idx], plan.outdimsize)
             if fetch_input:
                 scatter_tiles(in_out, tin[None], [idx], plan.outdimsize)

@@ -158,6 +158,7 @@ class DataService:
         self.workers = int(workers)
         self._pids: list = []
         self._thread: Optional[threading.Thread] = None
+        self._stopping = threading.Event()
 
     @property
     def port(self) -> int:
@@ -168,24 +169,52 @@ class DataService:
         host, port = self.server.server_address[:2]
         return f"http://{host}:{port}"
 
+    def _fork_worker(self) -> int:
+        import signal
+
+        pid = os.fork()
+        if pid == 0:  # worker: accept from the inherited socket
+            try:
+                signal.signal(signal.SIGTERM, signal.SIG_DFL)
+                self.server.serve_forever()
+            finally:
+                os._exit(0)
+        return pid
+
+    def _monitor_workers(self):
+        """Reap dead workers and refork them (gunicorn arbiter parity —
+        the reference's production service relied on gunicorn respawning
+        crashed workers; without this, a crashed worker silently reduces
+        capacity and a total die-off leaves the parent's listen socket
+        accepting TCP connects that no process ever serves)."""
+        import warnings
+
+        while not self._stopping.is_set():
+            self._stopping.wait(0.5)
+            if self._stopping.is_set():
+                return
+            for i, pid in enumerate(list(self._pids)):
+                try:
+                    done, status = os.waitpid(pid, os.WNOHANG)
+                except ChildProcessError:  # reaped elsewhere: still dead
+                    done, status = pid, "?"
+                if done:
+                    warnings.warn(
+                        f"data-service worker {pid} died "
+                        f"(status {status}); reforking", RuntimeWarning)
+                    self._pids[i] = self._fork_worker()
+
     def start(self) -> int:
         if self.workers:
-            import os as os_mod
-            import signal
-
             # Warm lazily-imported modules BEFORE forking: a fork taken
             # while another thread holds an import lock would deadlock the
             # child on its first `from PIL import Image`.
             from PIL import Image  # noqa: F401
             for _ in range(self.workers):
-                pid = os_mod.fork()
-                if pid == 0:  # worker: accept from the inherited socket
-                    try:
-                        signal.signal(signal.SIGTERM, signal.SIG_DFL)
-                        self.server.serve_forever()
-                    finally:
-                        os_mod._exit(0)
-                self._pids.append(pid)
+                self._pids.append(self._fork_worker())
+            self._thread = threading.Thread(target=self._monitor_workers,
+                                            daemon=True)
+            self._thread.start()
             return self.port
         self._thread = threading.Thread(target=self.server.serve_forever,
                                         daemon=True)
@@ -194,16 +223,19 @@ class DataService:
 
     def stop(self):
         if self._pids:
-            import os as os_mod
             import signal
+
+            self._stopping.set()  # stop the monitor BEFORE killing workers
+            if self._thread:
+                self._thread.join(timeout=5)
             for pid in self._pids:
                 try:
-                    os_mod.kill(pid, signal.SIGTERM)
+                    os.kill(pid, signal.SIGTERM)
                 except ProcessLookupError:
                     pass
             for pid in self._pids:
                 try:
-                    os_mod.waitpid(pid, 0)
+                    os.waitpid(pid, 0)
                 except ChildProcessError:
                     pass
             self._pids = []

@@ -19,7 +19,7 @@ from __future__ import annotations
 import gzip
 import json
 import os
-import select
+import selectors
 import socket
 import threading
 import time
@@ -43,13 +43,21 @@ def _sock_eof(sock) -> bool:
     Non-blocking peek: the client sends its whole request before we start
     computing, so any readable state mid-compute is either pipelined junk
     (ignore) or EOF (they hung up).  Used as predict_tiled's should_cancel
-    hook — no point finishing a chunk nobody will read."""
+    hook — no point finishing a chunk nobody will read.  Uses selectors
+    (epoll/poll) rather than select.select: select raises ValueError for
+    fd >= FD_SETSIZE (1024), which would read as a spurious 'disconnect'
+    in any process holding many files/connections."""
     try:
-        r, _, _ = select.select([sock], [], [], 0)
-        if not r:
-            return False
+        sel = selectors.DefaultSelector()
+        try:
+            sel.register(sock, selectors.EVENT_READ)
+            if not sel.select(timeout=0):
+                return False
+        finally:
+            sel.close()
         return sock.recv(1, socket.MSG_PEEK) == b""
-    except (OSError, ValueError):
+    except (OSError, ValueError, KeyError):
+        # ValueError/KeyError: socket already closed (fileno -1) — dead.
         return True
 
 
@@ -302,8 +310,11 @@ def make_handler(cache: ModelCache, mesh=None, limiter: _Limiter = None,
                 self._send(200, b"success")
             except InferenceCancelled:
                 if cancel_reason[0] == "timeout":
-                    self._send(504, b"request timed out",
-                               headers=[("Retry-After", "2")])
+                    try:
+                        self._send(504, b"request timed out",
+                                   headers=[("Retry-After", "2")])
+                    except OSError:
+                        pass  # deadline raced a client hangup
                 # disconnect: the peer is gone, nothing to send — the
                 # handler thread just ends, freeing its admission slot.
             except Exception:
