@@ -174,6 +174,13 @@ def test_halo_predict_rejects_bad_slabs():
         from jax.sharding import Mesh as _Mesh
         flat = _Mesh(np.array(_jax.devices()[:8]), ("data",))
         halo_predict(apply_fn, None, jnp.zeros((160, 74, 74, 1)), flat, 17)
+    # n_space disagreeing with the mesh must raise, not silently build
+    # ppermute rings for the wrong device count (zero halos at interior
+    # boundaries = corrupt voxels); None derives it from the mesh.
+    with pytest.raises(ValueError, match="n_space"):
+        halo_predict_fn(apply_fn, mesh, 17, 8 * 40, 8)  # mesh space=4
+    f = halo_predict_fn(apply_fn, mesh, 17, 4 * 40)  # derived: ok
+    assert f is not None
 
 
 def test_halo_predict_batched_2d_sharding():

@@ -168,10 +168,11 @@ def create_dataset_from_tensors(
     Args:
       tensors: list of 2D/3D uint8 arrays.
       custom_map: per-element map f(scaled_element, key) -> element, applied
-        after scaling (e.g. ``transfer_em_tpu.ops.warp.warp``).  Without
-        ``randomize`` each element's map randomness is fixed across epochs
-        (matching the reference's post-map cache, datasets.py:47-60); with
-        shuffling the draw is keyed by batch composition and may re-roll.
+        after scaling (e.g. ``transfer_em_tpu.ops.warp.warp``).  Each
+        element's map randomness is a pure function of (seed, element id),
+        fixed across epochs and unaffected by ``randomize`` — exactly the
+        reference's post-map cache semantics (datasets.py:47-60), where the
+        warp is drawn once and the warped tensors are cached.
       randomize: shuffle element order each epoch.
       padding: np.pad-style reflect padding config.
     Returns:
@@ -214,11 +215,16 @@ def create_dataset_from_tensors(
         element_keys = None
     _unused_key = jax.random.PRNGKey(0)  # placeholder when custom_map is None
     epoch_counter = [0]
+    # Epoch keys live in their own chained stream: a bare fold_in(base, e)
+    # would collide with the stats key at e=777 and the element-key base at
+    # e=5000 (both reachable in a default 3000-epoch run), reusing
+    # randomness across purposes.
+    epoch_base = jax.random.fold_in(base_key, 911)
 
     def epoch() -> Iterator[jax.Array]:
         e = epoch_counter[0]
         epoch_counter[0] += 1
-        ekey = jax.random.fold_in(base_key, e)
+        ekey = jax.random.fold_in(epoch_base, e)
         order = np.arange(n)
         if randomize:
             order = np.asarray(
@@ -263,8 +269,14 @@ def create_dataset_from_generator(
         transfer_em_tpu.data.sources.  Called once per epoch.
       shape: deprecated and ignored (parity with reference).
       epoch_size: elements per epoch (bounds the infinite stream).
-      fetch_threads: host threads pulling from the source concurrently
-        (replaces tf.data num_parallel_calls=AUTOTUNE).
+      fetch_threads: >0 decouples the source from the train loop with ONE
+        background pull thread and a bounded queue of depth
+        ``2*fetch_threads`` (0 = pull inline).  Fetch CONCURRENCY is the
+        source's own business — the volume sources fan out over an
+        ordered sliding window of ``num_threads`` (default 8) parallel
+        HTTP fetches internally (sources.py `_parallel_fetch`), which is
+        what replaces tf.data's num_parallel_calls=AUTOTUNE; tune
+        ``volume3d_ng(num_threads=...)``, not this, for fetch-bound loops.
     Returns:
       (Dataset, meanstd)
     """
@@ -291,11 +303,14 @@ def create_dataset_from_generator(
     tx = _device_transform(custom_map, global_adjust, meanstd,
                            enable_augmentation)
     epoch_counter = [0]
+    # Own chained stream for epoch keys — see create_dataset_from_tensors
+    # (a bare fold_in(base, e) collides with the stats key at e=777).
+    epoch_base = jax.random.fold_in(base_key, 911)
 
     def epoch() -> Iterator[jax.Array]:
         e = epoch_counter[0]
         epoch_counter[0] += 1
-        ekey = jax.random.fold_in(base_key, e)
+        ekey = jax.random.fold_in(epoch_base, e)
 
         def host_batches():
             batch = []

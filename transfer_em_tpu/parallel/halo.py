@@ -47,6 +47,10 @@ from jax import shard_map
 from ..shapes import is_valid_dimsize
 from .mesh import SPACE_AXIS
 
+# halo_predict's per-geometry memo of built shard_map+jit predictors
+# (gen_apply and Mesh are both hashable; bounded FIFO).
+_FN_CACHE: dict = {}
+
 
 def _vol_spec(batched: bool, data_axis: str | None,
               space_axes: list[str | None], ndim_spatial: int) -> P:
@@ -115,7 +119,8 @@ def _check_extra_axis(mesh: Mesh, axis: str, extent: int | None, buffer: int,
 
 
 def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
-                    z_extent: int, n_space: int, ndim_spatial: int = 3,
+                    z_extent: int, n_space: int | None = None,
+                    ndim_spatial: int = 3,
                     batched: bool = False, data_axis: str | None = None,
                     y_axis: str | None = None, y_extent: int | None = None,
                     x_axis: str | None = None, x_extent: int | None = None):
@@ -124,7 +129,11 @@ def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
     Args:
       gen_apply: (params, batch) -> output, the generator forward.
       z_extent: global size of the sharded (leading) spatial axis.
-      n_space: devices on the space axis.
+      n_space: devices on the space axis; None (default) derives it from
+        the mesh.  If given it must equal ``mesh.shape['space']`` — the
+        shard_map splits over the mesh regardless, so a mismatched caller
+        value would silently build ppermute rings for the wrong device
+        count (zero halos at interior boundaries = corrupt voxels).
       ndim_spatial: 3 for volumes (Z, Y, X, 1), 2 for images (Y, X, 1).
       batched: inputs carry a leading batch axis (B, Z, Y, X, 1) — the
         generator is applied to the whole local batch per shard.
@@ -148,6 +157,14 @@ def halo_predict_fn(gen_apply: Callable, mesh: Mesh, buffer: int,
     if data_axis is not None and data_axis not in mesh.shape:
         raise ValueError(f"mesh has no '{data_axis}' axis "
                          f"(got axes {tuple(mesh.shape)})")
+    mesh_n = int(mesh.shape[SPACE_AXIS])
+    if n_space is None:
+        n_space = mesh_n
+    elif int(n_space) != mesh_n:
+        raise ValueError(
+            f"n_space={n_space} != the mesh's '{SPACE_AXIS}' axis size "
+            f"{mesh_n}; shard_map splits over the mesh, so the halo "
+            f"exchange must be built for exactly that device count")
     _check_slab(z_extent, n_space, buffer, "z")
     # Sharded spatial axes, leading first: (mesh axis name, device count).
     sharded = [(SPACE_AXIS, n_space)]
@@ -252,10 +269,21 @@ def halo_predict(gen_apply: Callable, params, vol: jax.Array, mesh: Mesh,
     z_extent = vol.shape[off]
     y_extent = vol.shape[off + 1] if y_axis is not None else None
     x_extent = vol.shape[off + 2] if x_axis is not None else None
-    f = halo_predict_fn(gen_apply, mesh, buffer, z_extent, n_space,
-                        ndim_spatial, batched=batched, data_axis=data_axis,
-                        y_axis=y_axis, y_extent=y_extent,
-                        x_axis=x_axis, x_extent=x_extent)
+    # Memoize the built shard_map+jit per geometry: rebuilding it every call
+    # re-traces the whole generator program (the jit-per-call trap,
+    # CLAUDE.md) — seconds of host overhead per volume in a predict loop.
+    key = (gen_apply, mesh, buffer, z_extent, n_space, ndim_spatial,
+           batched, data_axis, y_axis, y_extent, x_axis, x_extent)
+    f = _FN_CACHE.get(key)
+    if f is None:
+        f = halo_predict_fn(gen_apply, mesh, buffer, z_extent, n_space,
+                            ndim_spatial, batched=batched,
+                            data_axis=data_axis,
+                            y_axis=y_axis, y_extent=y_extent,
+                            x_axis=x_axis, x_extent=x_extent)
+        if len(_FN_CACHE) >= 32:  # bound retained traces
+            _FN_CACHE.pop(next(iter(_FN_CACHE)))
+        _FN_CACHE[key] = f
     names = [SPACE_AXIS] + [a for a in (y_axis, x_axis) if a is not None]
     spec = _vol_spec(batched, data_axis, names, ndim_spatial)
     vol = jax.device_put(vol, NamedSharding(mesh, spec))

@@ -26,6 +26,7 @@ from __future__ import annotations
 import functools
 import os
 import time
+from contextlib import nullcontext
 from typing import Callable, Iterable, Optional, Tuple
 
 import jax
@@ -681,7 +682,7 @@ class EM2EM:
             scan_step = make_scan_train_step(self.config, scan_window,
                                              self.disc_prior, mesh=self.mesh)
         logger = MetricsLogger(metrics_log)
-        maybe_eager = jax.disable_jit if enable_eager else _nullcontext
+        maybe_eager = jax.disable_jit if enable_eager else nullcontext
         with maybe_eager(), profile_trace(profile_dir):
             for epoch in range(start, start + epochs):
                 t0 = time.time()
@@ -741,19 +742,23 @@ class EM2EM:
 
                 if (epoch + 1) % check_freq == 0:
                     self.make_checkpoint(epoch + 1)
-                    if sample is not None:
+                    # Gated on debug AND sample, like the reference
+                    # (cgan.py:275 "if debug and sample is not None") — the
+                    # sample predict is a fresh XLA compile at the sample's
+                    # shape plus a blocking fetch; it must not fire on a
+                    # non-debug run just because a sample was passed.
+                    if debug and sample is not None:
                         sample_pred = self.predict(sample)
                         if sample_gt is not None:
                             gt_c = center_crop(jnp.asarray(sample_gt), self.buffer)
                             acc = float(L.rmse(gt_c[0], sample_pred[0]))
                             print(f"Accuracy on sample: {acc}")
-                        if debug:
-                            # reference cgan.py:285 shows the pair in-loop;
-                            # headless here: write a side-by-side PNG
-                            from ..debug import generate_images
-                            generate_images(
-                                sample, sample_pred, show=False,
-                                save_path=f"{self.exp_name}_sample.png")
+                        # reference cgan.py:285 shows the pair in-loop;
+                        # headless here: write a side-by-side PNG
+                        from ..debug import generate_images
+                        generate_images(
+                            sample, sample_pred, show=False,
+                            save_path=f"{self.exp_name}_sample.png")
                 print(f"Time taken for epoch {epoch+1} is {time.time()-t0}")
         self.wait_until_finished()  # drain the async checkpoint writer
         logger.close()
@@ -843,11 +848,3 @@ class BoundModel:
         if self._apply is not None:
             return self._apply(self.params, x)
         return self.module.apply(self.params, x)
-
-
-class _nullcontext:
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *a):
-        return False
