@@ -160,3 +160,41 @@ def test_predict_volume_device_resident_roundtrip(setup):
         got = predict_volume(vol_d, *args, mode=mode, as_numpy=False)
         assert isinstance(got, jax.Array) and got.dtype == jnp.uint8
         np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_predict_volume_ndarray_meanstd_all_modes(setup):
+    """meanstd passed as np.ndarray (get_meanstd returns a 2-sequence; an
+    array is a natural way callers hold it) must work in EVERY mode — the
+    device/slab paths previously crashed on `if meanstd` truthiness."""
+    from transfer_em_tpu.infer import predict_volume
+    gen, params, vol = setup
+    apply_fn = gen.apply
+    ms_x, ms_y = np.array([0.1, 0.9]), np.array([0.05, 1.1])
+    args = (vol, apply_fn, params, (40, 40, 40), (36, 36, 36), ms_x, ms_y)
+    ref = predict_volume(vol, apply_fn, params, (40, 40, 40), (36, 36, 36),
+                         (0.1, 0.9), (0.05, 1.1), mode="device")
+    got_dev = predict_volume(*args, mode="device")
+    got_slab = predict_volume(*args, mode="slab")
+    got_tiles = predict_volume(*args, mode="tiles")
+    np.testing.assert_array_equal(got_dev, ref)
+    np.testing.assert_array_equal(got_tiles, ref)
+    assert got_slab.shape == ref.shape
+
+
+def test_predict_volume_out_handling(setup, tmp_path):
+    """out= fills the caller's buffer for tiles/stream and raises (instead of
+    silently ignoring it) for device/slab."""
+    from transfer_em_tpu.infer import predict_volume
+    gen, params, vol = setup
+    apply_fn = gen.apply
+    args = (vol, apply_fn, params, (40, 40, 40), (36, 36, 36), (0.1, 0.9),
+            (0.05, 1.1))
+    want = predict_volume(*args, mode="device")
+    out = np.lib.format.open_memmap(tmp_path / "out.npy", mode="w+",
+                                    dtype=np.uint8, shape=want.shape)
+    got = predict_volume(*args, mode="tiles", out=out)
+    assert got is out
+    np.testing.assert_array_equal(np.asarray(out), want)
+    for mode in ("device", "slab"):
+        with pytest.raises(ValueError, match="out="):
+            predict_volume(*args, mode=mode, out=np.zeros_like(want))

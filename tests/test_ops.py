@@ -24,8 +24,11 @@ def _np_sigmoid_focal(labels, preds, alpha=0.5, gamma=2.0, from_logits=True):
         p = 1 / (1 + np.exp(-preds))
         ce = np.maximum(preds, 0) - preds * labels + np.log1p(np.exp(-np.abs(preds)))
     else:
-        p = np.clip(preds, 1e-7, 1 - 1e-7)
-        ce = -(labels * np.log(p) + (1 - labels) * np.log(1 - p))
+        # Keras-3 BCE clips and adds eps inside the log; p_t uses RAW preds
+        # (tfa semantics, measured vs tf.keras 3.13 — see losses.py).
+        pc = np.clip(preds, 1e-7, 1 - 1e-7)
+        ce = -(labels * np.log(pc + 1e-7) + (1 - labels) * np.log(1 - pc + 1e-7))
+        p = preds
     p_t = labels * p + (1 - labels) * (1 - p)
     alpha_t = labels * alpha + (1 - labels) * (1 - alpha)
     focal = alpha_t * (1 - p_t) ** gamma * ce
@@ -47,6 +50,21 @@ def test_focal_ce_probs_matches_formula(rng):
                                   from_logits=False)
     want = _np_sigmoid_focal(labels, probs, from_logits=False)
     np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_focal_ce_probs_out_of_range_matches_tf():
+    """tconf = 1 - |real-cycled|/2 goes outside [0,1] for badly diverged
+    voxels; tfa clips only the CE term and computes p_t from the RAW preds,
+    so value AND gradient must survive out-of-range inputs.  Expected values
+    measured against tf.keras 3.13 + the tfa stub (2026-08-19)."""
+    y_true = jnp.asarray([[1.0, 1.0, 1.0, 0.0]])
+    y_pred = jnp.asarray([[-0.5, 0.5, 1.5, 1.2]])
+    got = losses.sigmoid_focal_ce(y_true, y_pred, from_logits=False)
+    np.testing.assert_allclose(float(got), 28.479643, rtol=1e-5)
+    g = jax.grad(lambda p: losses.sigmoid_focal_ce(y_true, p,
+                                                   from_logits=False))(y_pred)
+    np.testing.assert_allclose(
+        np.asarray(g), [[-23.137423, -0.5965734, 0.0, 18.399887]], rtol=1e-4)
 
 
 def test_focal_gamma_zero_is_alpha_weighted_ce(rng):

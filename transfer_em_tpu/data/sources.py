@@ -131,6 +131,12 @@ def corner_stream(bbox: Optional[BBox], size: int, seed: Optional[int],
     ``sample_array``, iterate the list once; otherwise sample forever.
     ``sample_class``: array is a list of lists of bboxes; pick class uniformly
     then bbox uniformly (stratified sampling, generators.py:95-101).
+
+    ``size`` is accepted for reference signature parity but — exactly like
+    the reference — does NOT constrain sampling, so cubes whose corner lands
+    near the bbox upper bound overhang it by up to size-1 voxels per axis
+    (fetches zero-pad outside the volume; generators.py never subtracts
+    ``size`` either).
     """
     if array is not None and not sample_array:
         yield from (tuple(c) for c in array)

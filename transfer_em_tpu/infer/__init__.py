@@ -42,9 +42,15 @@ def predict_volume(vol_zyx, gen_apply, params, start, size,
     ``mesh`` (device/stream modes): shard tile batches data-parallel across a
     Mesh's "data" axis — the multi-chip serving path (volume replicated;
     see parallel.halo_predict for the spatially-sharded alternative).
-    ``out`` (stream mode): preallocated zyx uint8 output, e.g. an np.memmap
-    for results larger than host RAM.
+    ``out`` (stream/tiles modes): preallocated zyx uint8 output, e.g. an
+    np.memmap for results larger than host RAM.  The device/slab modes
+    stitch in HBM and reject ``out=`` rather than silently ignoring it.
     """
+    if out is not None and mode not in ("stream", "tiles"):
+        raise ValueError(
+            f"out= is only supported with mode='stream' or 'tiles' "
+            f"(got {mode!r}): device/slab stitch on-device and allocate "
+            "their own output")
     if mesh is not None and mode not in ("device", "stream"):
         raise ValueError(
             f"mesh= is only supported with mode='device' or 'stream' "
@@ -83,7 +89,7 @@ def predict_volume(vol_zyx, gen_apply, params, start, size,
 
         return predict_tiled(fetch_tile, gen_apply, params, start, size,
                              outdimsize, buffer, meanstd_x, meanstd_y,
-                             batch_size=batch_size)
+                             batch_size=batch_size, out=out)
     raise ValueError(f"unknown mode {mode!r}")
 
 

@@ -110,8 +110,10 @@ def device_predict_tiled(
     sx, sy, sz = size
     static = dict(gen_apply=gen_apply, insize=insize, tpad=plan.tpad,
                   batch=B, out_shape=plan.padded_size, crop=(sz, sy, sx),
-                  meanstd_x=tuple(meanstd_x) if meanstd_x else None,
-                  meanstd_y=tuple(meanstd_y) if meanstd_y else None)
+                  meanstd_x=(tuple(float(v) for v in meanstd_x)
+                             if meanstd_x is not None else None),
+                  meanstd_y=(tuple(float(v) for v in meanstd_y)
+                             if meanstd_y is not None else None))
     if mesh is None:
         out = _run(vol, params, corners_d, indices_d, **static)
     else:

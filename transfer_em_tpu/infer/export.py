@@ -81,10 +81,12 @@ def load_generator(model_dir: str):
         # (the docstring above; compat builds a fresh instance).
         return generator_module(gen.wf), params, meta
     gen = generator_module(meta.wf)
-    sp = (meta.dimsize,) * (3 if meta.is3d else 2)
-    import jax.numpy as jnp
-    template = gen.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1,) + sp + (1,), jnp.float32))
+    # Shape-only template via eval_shape: building the msgpack deserialization
+    # target must NOT run a real 74^3 forward on device (model loads sit on
+    # the serving hot path and a real init pays a remote-compile round trip,
+    # CLAUDE.md).  Every leaf is overwritten by from_bytes.
+    from ..compat import _concretize, _template_params
+    template = _concretize(_template_params(gen, meta.is3d, meta.dimsize))
     with open(params_path, "rb") as f:
         params = serialization.from_bytes(template, f.read())
     return gen, params, meta

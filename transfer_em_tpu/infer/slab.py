@@ -94,8 +94,10 @@ def slab_predict(vol_zyx: np.ndarray | jax.Array,
     out = _run(volp, params, zs, gen_apply=gen_apply, z_lo=z_lo, y_lo=y_lo,
                x_lo=x_lo, z_in=z_in, y_in=y_in, x_in=x_in, z_out=z_out,
                y_out=y_out, x_out=x_out, nz=nz, sz=sz, sy=sy, sx=sx,
-               meanstd_x=tuple(meanstd_x) if meanstd_x else None,
-               meanstd_y=tuple(meanstd_y) if meanstd_y else None)
+               meanstd_x=(tuple(float(v) for v in meanstd_x)
+                          if meanstd_x is not None else None),
+               meanstd_y=(tuple(float(v) for v in meanstd_y)
+                          if meanstd_y is not None else None))
     return np.asarray(out) if as_numpy else out
 
 

@@ -36,7 +36,6 @@ end-to-end throughput is measured by bench_infer.py (PERF.md).
 from __future__ import annotations
 
 import dataclasses
-import math
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Optional, Sequence, Tuple
 

@@ -233,7 +233,6 @@ def predict_tiled(
     def fetch(corner):
         return fetch_tile(corner, plan.insize)
 
-    n = plan.num_tiles
     # Bounded sliding-window fetch (2*threads in flight): Executor.map would
     # submit ALL tiles up front and buffer them in host RAM — toward the
     # whole haloed input volume for gigavoxel requests.
@@ -256,7 +255,7 @@ def predict_tiled(
         pred = np.asarray(step(jnp.asarray(arr)))[:k]
         scatter_tiles(out, pred, batch_idx, plan.outdimsize)
         if fetch_input:
-            b, t = plan.buffer, plan.tpad
+            b = plan.buffer  # tpad is already folded into the buffer geometry
             lo, hi = b, b + plan.outdimsize
             ins = arr[:k, lo:hi, lo:hi, lo:hi]
             scatter_tiles(in_out, ins, batch_idx, plan.outdimsize)

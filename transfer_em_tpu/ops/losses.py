@@ -48,8 +48,15 @@ def sigmoid_focal_ce(labels: jax.Array, preds: jax.Array, *,
             jnp.exp(-jnp.abs(preds)))
         p = jax.nn.sigmoid(preds)
     else:
-        p = jnp.clip(preds, _K_EPSILON, 1.0 - _K_EPSILON)
-        ce = -(labels * jnp.log(p) + (1.0 - labels) * jnp.log1p(-p))
+        # Keras-3 binary_crossentropy: clip to [eps, 1-eps], then ANOTHER
+        # +eps inside each log (measured against tf.keras 3.13).  The clip is
+        # only for the CE term; tfa computes p_t from the RAW probabilities,
+        # so out-of-range preds (which the tconf trick produces for badly
+        # diverged voxels) keep a gradient through the modulating factor.
+        p_clip = jnp.clip(preds, _K_EPSILON, 1.0 - _K_EPSILON)
+        ce = -(labels * jnp.log(p_clip + _K_EPSILON)
+               + (1.0 - labels) * jnp.log(1.0 - p_clip + _K_EPSILON))
+        p = preds
     p_t = labels * p + (1.0 - labels) * (1.0 - p)
     alpha_t = labels * alpha + (1.0 - labels) * (1.0 - alpha)
     focal = alpha_t * jnp.power(1.0 - p_t, gamma) * ce
