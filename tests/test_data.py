@@ -92,6 +92,39 @@ def test_custom_map_applied(rng):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_meanstd_uses_training_warp_keys(rng):
+    """The stats pass must warp each element with the SAME per-element key
+    the training transform uses, so the population mean/std describes the
+    dataset the model actually sees (the reference computes get_meanstd over
+    the post-warp CACHE, datasets.py:47-60).  Regression: the stats pass
+    once drew its own key stream, standardizing against differently-warped
+    tensors."""
+    tensors = _tensors(rng, n=6)
+
+    def keyed_map(el, key):
+        # key-sensitive map: any key mismatch between stats and training
+        # shifts the element mean detectably
+        return el + jax.random.uniform(key, ()) * 2.0
+
+    ds, meanstd = create_dataset_from_tensors(
+        tensors, batch_size=6, custom_map=keyed_map,
+        enable_augmentation=False, seed=3)
+    # expected: stats over elements warped with the TRAINING element keys
+    k5 = jax.random.fold_in(jax.random.PRNGKey(3), 5000)
+    want = get_meanstd(
+        keyed_map(scale_tensor(jnp.asarray(t)), jax.random.fold_in(k5, i))
+        for i, t in enumerate(tensors))
+    np.testing.assert_allclose(meanstd, want, rtol=1e-6)
+    # and the standardized batch is (mapped - mean) / std of ITS OWN stats:
+    batch = np.asarray(next(iter(ds)))
+    mapped = np.stack([
+        np.asarray(keyed_map(scale_tensor(jnp.asarray(t)),
+                             jax.random.fold_in(k5, i)))
+        for i, t in enumerate(tensors)])
+    np.testing.assert_allclose(
+        batch, (mapped - meanstd[0]) / meanstd[1], atol=1e-5)
+
+
 def test_reflect_padding(rng):
     tensors = _tensors(rng, n=2, size=16)
     pad = ((4, 4), (4, 4))

@@ -37,6 +37,30 @@ def test_device_stitch_matches_host_path(setup):
     np.testing.assert_array_equal(got, want)
 
 
+def test_device_stitch_far_oob_reads_zeros(setup):
+    """A request extending more than one tile size past the volume: the
+    device path must read zeros for out-of-range voxels, exactly like the
+    host tiles path (gather_blocks zero-fills).  Regression: the device
+    path used a fixed one-tile pad, and lax.dynamic_slice CLAMPS an
+    out-of-range start — far-OOB tiles silently read shifted volume data."""
+    gen, params, vol = setup
+    apply_fn = gen.apply
+    ms_x, ms_y = (0.1, 0.9), (0.05, 1.1)
+
+    def fetch_tile(corner, insize):
+        return gather_blocks(vol, [corner], insize)[0]
+
+    # z spans 100..244 over a 160-deep volume: the last tile corner is
+    # 191 > 160, so the old insize(74) pad left its slice start out of range.
+    start, size = (100, 100, 100), (36, 36, 144)
+    want = predict_tiled(fetch_tile, apply_fn, params, start, size,
+                         40, 17, ms_x, ms_y, batch_size=2)
+    got = device_predict_tiled(vol, apply_fn, params, start, size,
+                               40, 17, ms_x, ms_y, batch_size=2)
+    assert got.shape == want.shape == (144, 36, 36)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_device_stitch_single_tile(setup):
     gen, params, vol = setup
     apply_fn = gen.apply

@@ -44,51 +44,39 @@ def _reflect_pad_np(x: np.ndarray, padding) -> np.ndarray:
 
 
 class _DevicePrefetcher:
-    """Iterate host batches, keeping up to ``depth`` transfers in flight."""
+    """Iterate host batches, keeping up to ``depth`` transfers in flight.
 
-    def __init__(self, it: Iterator[np.ndarray], depth: int = 2):
+    ``transfer`` maps each host item to its in-flight form (default: a bare
+    ``jax.device_put``); pass a custom one for structured items, e.g.
+    ``(meta, batch)`` tuples where only the batch moves to device.
+    """
+
+    def __init__(self, it: Iterator, depth: int = 2,
+                 transfer: Callable = jax.device_put):
         self._it = it
         self._depth = depth
+        self._transfer = transfer
 
     def __iter__(self):
         buf: List = []
         try:
             for _ in range(self._depth):
-                buf.append(jax.device_put(next(self._it)))
+                buf.append(self._transfer(next(self._it)))
         except StopIteration:
             pass
         while buf:
             nxt = buf.pop(0)
             try:
-                buf.append(jax.device_put(next(self._it)))
+                buf.append(self._transfer(next(self._it)))
             except StopIteration:
                 pass
             yield nxt
 
 
-class _DevicePrefetcher2:
-    """Like _DevicePrefetcher but items are (host_meta, batch) tuples."""
-
-    def __init__(self, it, depth: int = 2):
-        self._it = it
-        self._depth = depth
-
-    def __iter__(self):
-        buf = []
-        try:
-            for _ in range(self._depth):
-                m, b = next(self._it)
-                buf.append((m, jax.device_put(b)))
-        except StopIteration:
-            pass
-        while buf:
-            nxt = buf.pop(0)
-            try:
-                m, b = next(self._it)
-                buf.append((m, jax.device_put(b)))
-            except StopIteration:
-                pass
-            yield nxt
+def _put_indexed(item):
+    """Transfer fn for (host_meta, batch) items: device_put the batch only."""
+    m, b = item
+    return m, jax.device_put(b)
 
 
 class Dataset:
@@ -141,13 +129,17 @@ def _device_transform(custom_map, global_adjust, meanstd, enable_augmentation):
     return _tx
 
 
-def _scaled_stream_for_stats(tensors_u8, custom_map, key):
+def _scaled_stream_for_stats(tensors_u8, custom_map, key_fn):
     """Host stream of scaled (+custom-mapped) elements for meanstd (eager
-    pass, mirroring reference datasets.py:54-56)."""
+    pass, mirroring reference datasets.py:54-56).  ``key_fn(i)`` supplies the
+    custom-map key for element i — the in-memory path passes the SAME
+    per-element keys training uses, so the statistics describe exactly the
+    warped tensors the model trains on (the reference computes get_meanstd on
+    the post-warp cache, datasets.py:47-60)."""
     for i, t in enumerate(tensors_u8):
         x = scale_tensor(jnp.asarray(t))
         if custom_map is not None:
-            x = custom_map(x, jax.random.fold_in(key, i))
+            x = custom_map(x, key_fn(i))
         yield x
 
 
@@ -184,13 +176,6 @@ def create_dataset_from_tensors(
         tensors = [_reflect_pad_np(t, padding) for t in tensors]
     stacked = np.stack(tensors)  # cache: all in host memory
 
-    if global_adjust and meanstd is None:
-        meanstd = get_meanstd(
-            _scaled_stream_for_stats(tensors, custom_map,
-                                     jax.random.fold_in(base_key, 777)))
-
-    tx = _device_transform(custom_map, global_adjust, meanstd,
-                           enable_augmentation)
     n = len(tensors)
     # Per-ELEMENT custom-map keys derived from element ids, computed once:
     # each element's warp is a pure function of (seed, id), fixed across
@@ -213,6 +198,18 @@ def create_dataset_from_tensors(
                 jax.vmap(lambda i: jax.random.fold_in(_k5, i))(jnp.arange(n)))
     else:
         element_keys = None
+
+    if global_adjust and meanstd is None:
+        # The stats pass warps each element with the SAME element key the
+        # training transform will use, so the population mean/std describes
+        # the dataset the model actually sees — the reference guarantees this
+        # by computing get_meanstd over the post-warp cache (datasets.py:47-60).
+        meanstd = get_meanstd(
+            _scaled_stream_for_stats(
+                tensors, custom_map, lambda i: jnp.asarray(element_keys[i])))
+
+    tx = _device_transform(custom_map, global_adjust, meanstd,
+                           enable_augmentation)
     _unused_key = jax.random.PRNGKey(0)  # placeholder when custom_map is None
     epoch_counter = [0]
     # Epoch keys live in their own chained stream: a bare fold_in(base, e)
@@ -236,7 +233,8 @@ def create_dataset_from_tensors(
                 yield idx, stacked[idx]
 
         def device_batches():
-            for bi, (idx, hb) in enumerate(_DevicePrefetcher2(host_batches())):
+            for bi, (idx, hb) in enumerate(
+                    _DevicePrefetcher(host_batches(), transfer=_put_indexed)):
                 # per-element warp keys by element id (stable under shuffling)
                 cm_keys = jnp.asarray(element_keys[idx]) \
                     if element_keys is not None else _unused_key
@@ -296,9 +294,14 @@ def create_dataset_from_generator(
     if global_adjust and meanstd is None:
         # Eager full pass, like the reference (datasets.py:105-113) — real
         # cost for streaming sources; pass meanstd explicitly to avoid it.
+        # Streaming: elements are one-shot draws, so (unlike the cached
+        # in-memory path) the stats realization necessarily differs from the
+        # training realizations — same as the reference's eager get_meanstd
+        # pass over a fresh generator epoch (datasets.py:105-113).
+        _k777 = jax.random.fold_in(base_key, 777)
         meanstd = get_meanstd(
             _scaled_stream_for_stats(bounded_elements(), custom_map,
-                                     jax.random.fold_in(base_key, 777)))
+                                     lambda i: jax.random.fold_in(_k777, i)))
 
     tx = _device_transform(custom_map, global_adjust, meanstd,
                            enable_augmentation)

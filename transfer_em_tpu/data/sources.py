@@ -134,9 +134,11 @@ def corner_stream(bbox: Optional[BBox], size: int, seed: Optional[int],
 
     ``size`` is accepted for reference signature parity but — exactly like
     the reference — does NOT constrain sampling, so cubes whose corner lands
-    near the bbox upper bound overhang it by up to size-1 voxels per axis
-    (fetches zero-pad outside the volume; generators.py never subtracts
-    ``size`` either).
+    near the bbox upper bound overhang it by up to size-1 voxels per axis.
+    All transports zero-fill outside the volume: DVID server-side, the
+    tensorstore transport and the data-service backends client-side (the
+    reference's own tensorstore path would raise OutOfRange on such a read,
+    generators.py:139-142; generators.py never subtracts ``size`` either).
     """
     if array is not None and not sample_array:
         yield from (tuple(c) for c in array)
@@ -333,11 +335,32 @@ def volume3d_ng(location: str, bbox: Optional[BBox] = None, size: int = 132,
         seed = host_sharded_seed(seed)
     if cloudrun is None:
         ds = open_tensorstore(location)
+        dom_lo = np.asarray(ds.domain.inclusive_min[:3], np.int64)
+        dom_hi = np.asarray(ds.domain.exclusive_max[:3], np.int64)
 
         def fetch(corner):
-            x, y, z = corner
-            data = ds[x:x + size, y:y + size, z:z + size].read().result()
-            return np.asarray(data, np.uint8)
+            # Clamp the read to the volume domain and zero-fill the rest:
+            # corner_stream legitimately samples corners whose cube overhangs
+            # the bbox/volume edge (see its docstring), and tensorstore
+            # raises OutOfRange on any out-of-domain slice (the reference
+            # would crash here, generators.py:139-142; the DVID transport
+            # zero-fills server-side — this makes the transports uniform).
+            want_lo = np.asarray(corner, np.int64)
+            want_hi = want_lo + size
+            lo = np.maximum(want_lo, dom_lo)
+            hi = np.minimum(want_hi, dom_hi)
+            if np.any(lo >= hi):
+                return np.zeros((size, size, size), np.uint8)
+            data = np.asarray(
+                ds[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]].read().result(),
+                np.uint8)
+            if np.array_equal(lo, want_lo) and np.array_equal(hi, want_hi):
+                return data
+            out = np.zeros((size, size, size), np.uint8)
+            o = lo - want_lo
+            out[o[0]:o[0] + data.shape[0], o[1]:o[1] + data.shape[1],
+                o[2]:o[2] + data.shape[2]] = data
+            return out
     else:
         fetcher = CloudRunFetcher(cloudrun, location)
 

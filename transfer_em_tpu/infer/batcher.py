@@ -67,7 +67,8 @@ class TileBatcher:
                  max_batch: int = 128, linger_ms: float = 5.0,
                  min_bucket: int = 8, multiple: int = 1,
                  outdimsize: Optional[int] = None,
-                 buffer: Optional[int] = None):
+                 buffer: Optional[int] = None,
+                 meanstd_x=None, meanstd_y=None):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1 (got {max_batch})")
         self._step = step
@@ -78,6 +79,13 @@ class TileBatcher:
         # but its step emits 30^3 tiles that would mis-stitch a 36^3 plan.
         self.outdimsize = outdimsize
         self.buffer = buffer
+        # Normalization the baked-in step applies, when known — lets
+        # predict_tiled reject a request whose meanstd does not match the
+        # batcher's (a geometric match alone would silently mis-normalize).
+        self.meanstd_x = (tuple(float(v) for v in meanstd_x)
+                          if meanstd_x is not None else None)
+        self.meanstd_y = (tuple(float(v) for v in meanstd_y)
+                          if meanstd_y is not None else None)
         self.max_batch = int(max_batch)
         self._linger = float(linger_ms) / 1000.0
         self._min_bucket = max(1, int(min_bucket))
@@ -271,4 +279,5 @@ def make_tile_batcher(gen_apply: Callable, params, meanstd_x, meanstd_y,
     return TileBatcher(dev_step, insize=eff_out + 2 * eff_buf,
                        max_batch=max_batch, linger_ms=linger_ms,
                        min_bucket=min_bucket, multiple=multiple,
-                       outdimsize=eff_out, buffer=eff_buf)
+                       outdimsize=eff_out, buffer=eff_buf,
+                       meanstd_x=meanstd_x, meanstd_y=meanstd_y)

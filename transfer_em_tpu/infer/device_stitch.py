@@ -71,12 +71,29 @@ def device_predict_tiled(
     plan = plan_tiles(start, size, outdimsize, buffer)
     insize = plan.insize
 
-    # Pad by the tile size so every (corner - buffer) index is in range,
-    # reproducing gather_blocks' zero-fill OOB semantics.  ``prepadded``
-    # callers (infer/stream.py) fetch blocks that already cover every corner
-    # read — the pad (which costs an extra HBM copy of the whole volume) is
-    # skipped; the caller guarantees corners stay in range.
-    pad = 0 if prepadded else insize
+    corners = np.asarray(plan.corners, np.int64)  # (T, 3) xyz
+    corners_zyx0 = corners[:, ::-1]
+
+    # Zero-pad exactly enough that every tile slice [corner, corner+insize)
+    # is in range, reproducing gather_blocks' zero-fill OOB semantics —
+    # computed from the actual corner extremes, NOT a fixed tile size, so
+    # requests reaching arbitrarily far past the volume still read zeros
+    # (lax.dynamic_slice CLAMPS out-of-range starts, which would silently
+    # substitute shifted volume data).  Interior requests pad 0 and skip the
+    # extra HBM copy entirely.  ``prepadded`` callers (infer/stream.py) fetch
+    # blocks that already cover every corner read and guarantee in-range.
+    if prepadded:
+        pad = 0
+    else:
+        dims = np.asarray(vol_zyx.shape[:3], np.int64)
+        need = int(max(0, -corners_zyx0.min(),
+                       (corners_zyx0 + insize - dims).max()))
+        # Round up to a multiple of insize: padded-volume SHAPES stay few, so
+        # a serving fleet's requests against one volume reuse the compiled
+        # program (remote compiles cost seconds here, CLAUDE.md) — ordinary
+        # halo-past-the-edge requests all land on pad == insize, exactly the
+        # pre-existing geometry.
+        pad = -(-need // insize) * insize
     if isinstance(vol_zyx, jax.Array):
         vol = vol_zyx.astype(jnp.uint8)
     else:
@@ -84,8 +101,7 @@ def device_predict_tiled(
     if pad:
         vol = _pad3(vol, pad=pad)
 
-    corners = np.asarray(plan.corners, np.int64)  # (T, 3) xyz
-    corners_zyx = corners[:, ::-1] + pad
+    corners_zyx = corners_zyx0 + pad
     indices_zyx = np.asarray(plan.indices, np.int64)[:, ::-1]
 
     T = plan.num_tiles

@@ -22,6 +22,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import dataclasses
 import functools
+import math
 import time
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -219,6 +220,22 @@ def predict_tiled(
                 raise ValueError(
                     f"batcher was built for {attr}={built}, this request "
                     f"plans {planned} — outdimsize/buffer mismatch")
+        # Geometry alone cannot catch a wrong-model/wrong-dataset batcher:
+        # compare the normalization the batcher's baked-in step applies
+        # against the caller's, or the run succeeds with silently
+        # mis-normalized voxels.
+        for attr, asked in (("meanstd_x", meanstd_x), ("meanstd_y", meanstd_y)):
+            built = getattr(batcher, attr, None)
+            if built is None or asked is None:
+                continue
+            asked_t = tuple(float(v) for v in asked)
+            if any(not math.isclose(b, a, rel_tol=1e-9, abs_tol=1e-12)
+                   for b, a in zip(built, asked_t)):
+                raise ValueError(
+                    f"batcher was built for {attr}={built}, this request "
+                    f"passes {asked_t} — it would be served with the "
+                    "batcher's normalization; build a batcher for this "
+                    "model/meanstd or drop the batcher")
         return _predict_tiled_batched(batcher, fetch_tile, plan,
                                       fetch_input, fetch_threads, out=out,
                                       should_cancel=should_cancel)

@@ -44,18 +44,35 @@ class NumpyVolume(VolumeBackend):
 
 
 class TensorstoreVolume(VolumeBackend):
-    """ng-precomputed backend (reference cloudrun_functions/transferem.py:131-180)."""
+    """ng-precomputed backend (reference cloudrun_functions/transferem.py:131-180).
+
+    OOB reads zero-fill like NumpyVolume (tensorstore itself raises OutOfRange
+    on any out-of-domain slice; clients legitimately request halos past the
+    volume edge — see data.sources.corner_stream)."""
 
     def __init__(self, location: str, scale_index: int = 0):
         from ..data.sources import open_tensorstore
         self.ds = open_tensorstore(location, scale_index)
+        self._lo = np.asarray(self.ds.domain.inclusive_min[:3], np.int64)
+        self._hi = np.asarray(self.ds.domain.exclusive_max[:3], np.int64)
 
     def read(self, start, size) -> np.ndarray:
-        x, y, z = start
+        want_lo = np.asarray(start, np.int64)          # xyz
+        want_hi = want_lo + np.asarray(size, np.int64)
+        lo = np.maximum(want_lo, self._lo)
+        hi = np.minimum(want_hi, self._hi)
         sx, sy, sz = size
-        data = self.ds[x:x + sx, y:y + sy, z:z + sz].read(order="F").result()
-        # F-order xyz buffer reinterpreted as C-order zyx (same RAM contents).
-        return np.asarray(data).transpose(2, 1, 0).copy()
+        out = np.zeros((sz, sy, sx), np.uint8)  # zyx
+        if np.all(lo < hi):
+            data = self.ds[lo[0]:hi[0], lo[1]:hi[1],
+                           lo[2]:hi[2]].read(order="F").result()
+            # F-order xyz buffer reinterpreted as C-order zyx (same RAM
+            # contents).
+            sub = np.asarray(data).transpose(2, 1, 0)
+            o = lo - want_lo  # xyz offsets
+            out[o[2]:o[2] + sub.shape[0], o[1]:o[1] + sub.shape[1],
+                o[0]:o[0] + sub.shape[2]] = sub
+        return out
 
 
 _REGISTRY: Dict[str, VolumeBackend] = {}

@@ -683,7 +683,14 @@ class EM2EM:
                                              self.disc_prior, mesh=self.mesh)
         logger = MetricsLogger(metrics_log)
         maybe_eager = jax.disable_jit if enable_eager else nullcontext
-        with maybe_eager(), profile_trace(profile_dir):
+        pbar = None
+        # The cleanup below runs in ``finally``: a mid-epoch exception (OOM,
+        # a failed streaming fetch, Ctrl-C) must still drain the async orbax
+        # writer — the checkpoint from the last check_freq epoch is exactly
+        # what a crashed run resumes from — and close the metrics file and
+        # progress bar (a leaked tqdm bar corrupts subsequent terminal output).
+        try:
+          with maybe_eager(), profile_trace(profile_dir):
             for epoch in range(start, start + epochs):
                 t0 = time.time()
                 loss = np.zeros((7,), np.float32)
@@ -734,6 +741,7 @@ class EM2EM:
                     count += 1
                 if pbar is not None:
                     pbar.close()
+                    pbar = None
                 if count:
                     loss = np.asarray(loss_acc) / count
                 print(f"Epoch {epoch+1} loss [g_gen_total, f_gen_total, "
@@ -760,8 +768,11 @@ class EM2EM:
                             sample, sample_pred, show=False,
                             save_path=f"{self.exp_name}_sample.png")
                 print(f"Time taken for epoch {epoch+1} is {time.time()-t0}")
-        self.wait_until_finished()  # drain the async checkpoint writer
-        logger.close()
+        finally:
+            if pbar is not None:  # left open by a mid-epoch exception
+                pbar.close()
+            self.wait_until_finished()  # drain the async checkpoint writer
+            logger.close()
 
     # ------------------------------------------------------------ inspection
     def plot_generator(self, location: str):
