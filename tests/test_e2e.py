@@ -181,3 +181,37 @@ def test_train_scan_window_ragged_batches(tmp_path):
               checkpoint_root=str(tmp_path / "ck"), seed=4)
     m.train(xs, ys, epochs=1, check_freq=10, scan_window=2)
     assert int(m.state.step) == 3  # all three batches trained
+
+
+def test_train_metrics_flushed_when_ckpt_drain_raises(tmp_path):
+    """If draining the async checkpoint writer in train()'s finally block
+    raises (e.g. the orbax writer itself failed), the metrics JSONL must
+    still be closed/flushed (ADVICE r3: nested try/finally)."""
+    from transfer_em_tpu.train import metrics as metrics_mod
+
+    closed = []
+    orig_close = metrics_mod.MetricsLogger.close
+
+    def spy_close(self):
+        closed.append(True)
+        orig_close(self)
+
+    rng = np.random.default_rng(13)
+    xs = [rng.normal(size=(2, 74, 74, 1)).astype(np.float32)]
+    m = EM2EM(74, "drainfail", is3d=False, wf=32,
+              checkpoint_root=str(tmp_path / "ck"), seed=5)
+
+    def boom():
+        raise RuntimeError("async writer failed")
+
+    m.wait_until_finished = boom
+    log = str(tmp_path / "metrics.jsonl")
+    metrics_mod.MetricsLogger.close = spy_close
+    try:
+        with pytest.raises(RuntimeError, match="async writer failed"):
+            m.train(xs, xs, epochs=1, check_freq=999, metrics_log=log)
+    finally:
+        metrics_mod.MetricsLogger.close = orig_close
+    assert closed, "logger.close() skipped when the ckpt drain raised"
+    with open(log) as f:
+        assert len(f.read().strip().splitlines()) == 1

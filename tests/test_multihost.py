@@ -107,6 +107,72 @@ for a, b in zip(jax.tree.leaves(new_state), jax.tree.leaves(restored)):
         break
 mgr.close()
 
+# --- cross-process halo inference: the ppermute ring spans the process
+# boundary (device 1 on host 0 <-> device 2 on host 1 — the DCN-shaped
+# risk).  Each host checks its ADDRESSABLE output shards against the
+# locally computed unsharded reference; the shard interior within
+# ``buffer`` planes of the boundary depends on the OTHER process's data,
+# so a zero/wrong halo shipped across the boundary cannot pass.
+from transfer_em_tpu.models import UNetGenerator
+from transfer_em_tpu.ops.convs import zero_pad
+from transfer_em_tpu.parallel import halo_predict
+from transfer_em_tpu.shapes import generator_shapes
+
+gen = UNetGenerator(wf=32)
+buffer = generator_shapes(74).buffer  # 17
+slab = 20  # 2D image (Z, 74, 1); slab % 4 == 0, slab + 34 = 54 valid
+vrng = np.random.default_rng(21)
+vol = vrng.normal(size=(4 * slab, 74, 1)).astype(np.float32)  # same both hosts
+gparams = gen.init(jax.random.PRNGKey(3), jnp.asarray(vol[None, :74]))
+smesh = make_mesh(4, data=1, space=4)
+barrier("mh_halo_ready")
+out = halo_predict(lambda p, b: gen.apply(p, b), gparams, jnp.asarray(vol),
+                   smesh, buffer)
+padded = zero_pad(jnp.asarray(vol)[None], buffer)[:, :, buffer:-buffer]
+want = np.asarray(gen.apply(gparams, padded)[0])  # (80, 40, 1), z-pad only
+halo_max_diff, halo_shards = 0.0, 0
+for shard in out.addressable_shards:
+    got = np.asarray(shard.data)
+    ref = want[shard.index]
+    halo_max_diff = max(halo_max_diff, float(np.max(np.abs(got - ref))))
+    halo_shards += 1
+
+# --- shard_by_host streaming sources feeding the SAME compiled DP step:
+# each host pulls its own disjoint reproducible ROI stream from a shared
+# ng-precomputed volume and contributes its local rows; both hosts must
+# then compute the SAME global loss (verified against a single-device
+# reconstruction by the harness).
+from transfer_em_tpu.data import create_dataset_from_generator
+from transfer_em_tpu.data.sources import volume3d_ng
+
+ngdir = os.path.join(outdir, "ngvol")
+if pid == 0:
+    import tensorstore as tsm
+    vdata = np.random.default_rng(17).integers(
+        0, 256, size=(128, 128, 128), dtype=np.uint8)  # xyz
+    spec = {{"driver": "neuroglancer_precomputed",
+            "kvstore": {{"driver": "file", "path": ngdir}},
+            "create": True,
+            "schema": {{"dtype": "uint8",
+                       "domain": {{"shape": [128, 128, 128, 1]}},
+                       "chunk_layout": {{"chunk": {{
+                           "shape": [128, 128, 128, 1]}}}}}}}}
+    w = tsm.open(spec).result()
+    w[...] = vdata[..., None]
+barrier("mh_ngvol_ready")
+src = volume3d_ng("file://" + ngdir, bbox=((0, 0, 0), (54, 54, 54)), size=74,
+                  seed=42, shard_by_host=True, num_threads=2)
+sds, _ = create_dataset_from_generator(
+    src, batch_size=4, epoch_size=8, meanstd=(0.0, 1.0),
+    enable_augmentation=False, fetch_threads=0)
+bx, by = sds.take_batches(2)            # (4, 74, 74, 74, 1) float32 each
+bx = np.asarray(bx)[:, 37]              # mid-plane -> (4, 74, 74, 1): reuse
+by = np.asarray(by)[:, 37]              # the already-compiled 2D DP step
+sx = host_local_batch(bx, mesh)
+sy = host_local_batch(by, mesh)
+barrier("mh_stream_ready")
+_, stream_loss = compiled(state, sx, sy, jax.random.PRNGKey(2))
+
 result = {{
     "pid": pid,
     "loss": np.asarray(loss).tolist(),
@@ -115,6 +181,11 @@ result = {{
     "seed": seed,
     "corners": corners,
     "ckpt_roundtrip_ok": ok,
+    "halo_max_diff": halo_max_diff,
+    "halo_shards": halo_shards,
+    "stream_loss": np.asarray(stream_loss).tolist(),
+    "stream_x_sum": float(np.abs(bx).sum()),
+    "stream_y_sum": float(np.abs(by).sum()),
 }}
 with open(os.path.join(outdir, "result_%d.json" % pid), "w") as f:
     json.dump(result, f)
@@ -193,3 +264,40 @@ def test_two_process_dp_matches_single(tmp_path):
             corner_stream(((0, 0, 0), (100, 100, 100)), 74,
                           results[pid]["seed"]), range(5))]
         assert [tuple(c) for c in results[pid]["corners"]] == want
+
+    # Cross-process halo inference: every host verified BOTH of its
+    # addressable output shards against the unsharded reference — including
+    # the voxels computed from the other process's boundary planes.
+    for pid in (0, 1):
+        assert results[pid]["halo_shards"] == 2, results[pid]
+        assert results[pid]["halo_max_diff"] < 1e-4, results[pid]
+
+    # shard_by_host streaming -> DP: hosts pulled DIFFERENT local data ...
+    assert results[0]["stream_x_sum"] != results[1]["stream_x_sum"]
+    assert results[0]["stream_y_sum"] != results[1]["stream_y_sum"]
+    # ... yet computed the SAME global loss (all-reduce over real rows) ...
+    np.testing.assert_allclose(results[0]["stream_loss"],
+                               results[1]["stream_loss"],
+                               rtol=1e-5, atol=1e-6)
+    # ... which equals the single-device step on the harness-reconstructed
+    # global batch (per-host corner streams + direct volume reads + the
+    # pipeline's scale transform).
+    vdata = np.random.default_rng(17).integers(
+        0, 256, size=(128, 128, 128), dtype=np.uint8)
+
+    def host_elements(pid, n=8):
+        seed = 42 * 1_000_003 + pid
+        cs = corner_stream(((0, 0, 0), (54, 54, 54)), 74, seed)
+        out = []
+        for (cx, cy, cz), _ in zip(cs, range(n)):
+            cube = vdata[cx:cx + 74, cy:cy + 74, cz:cz + 74]
+            out.append(cube.astype(np.float32) / 127.5 - 1.0)
+        return out
+
+    els = {pid: host_elements(pid) for pid in (0, 1)}
+    gx_s = np.stack(els[0][0:4] + els[1][0:4])[:, 37][..., None]
+    gy_s = np.stack(els[0][4:8] + els[1][4:8])[:, 37][..., None]
+    s2, l2 = step(state, jnp.asarray(gx_s), jnp.asarray(gy_s),
+                  jax.random.PRNGKey(2))
+    np.testing.assert_allclose(results[0]["stream_loss"], np.asarray(l2),
+                               rtol=5e-4, atol=1e-5)

@@ -70,6 +70,24 @@ def test_volume3d_ng_zero_fills_negative_and_disjoint(ng_volume):
                                 num_threads=1)).any()
 
 
+def test_tensorstore_backend_rejects_non_uint8(tmp_path):
+    """The serving byte contract is uint8-only (reference cloudrun_functions/
+    transferem.py:146-180); a non-uint8 source must be rejected at open time,
+    not silently truncated mod-256 into the uint8 read buffer."""
+    from transfer_em_tpu.serve.backends import TensorstoreVolume
+    spec = {
+        "driver": "neuroglancer_precomputed",
+        "kvstore": {"driver": "file", "path": str(tmp_path)},
+        "create": True,
+        "schema": {"dtype": "uint16", "domain": {"shape": [8, 8, 8, 1]},
+                   "chunk_layout": {"chunk": {"shape": [8, 8, 8, 1]}}},
+    }
+    w = ts.open(spec).result()
+    w[...] = np.full((8, 8, 8, 1), 300, np.uint16)  # would truncate to 44
+    with pytest.raises(ValueError, match="uint8-only"):
+        TensorstoreVolume("file://" + str(tmp_path))
+
+
 def test_tensorstore_backend_matches_numpy_backend(ng_volume):
     """TensorstoreVolume.read == NumpyVolume.read over the same voxels for
     interior, overhanging, and negative-corner requests (zyx out, byte

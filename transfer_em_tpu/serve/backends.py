@@ -53,6 +53,14 @@ class TensorstoreVolume(VolumeBackend):
     def __init__(self, location: str, scale_index: int = 0):
         from ..data.sources import open_tensorstore
         self.ds = open_tensorstore(location, scale_index)
+        # The byte contract (and the whole framework — README.md:8-9 "single
+        # channel uint8 only") is uint8; assigning another dtype into the
+        # zero-filled uint8 buffer would silently truncate mod-256.
+        if np.dtype(self.ds.dtype.numpy_dtype) != np.uint8:
+            raise ValueError(
+                f"volume at {location!r} has dtype {self.ds.dtype}, but the "
+                "serving byte contract is uint8-only (reference "
+                "cloudrun_functions/transferem.py:146-180)")
         self._lo = np.asarray(self.ds.domain.inclusive_min[:3], np.int64)
         self._hi = np.asarray(self.ds.domain.exclusive_max[:3], np.int64)
 

@@ -771,8 +771,10 @@ class EM2EM:
         finally:
             if pbar is not None:  # left open by a mid-epoch exception
                 pbar.close()
-            self.wait_until_finished()  # drain the async checkpoint writer
-            logger.close()
+            try:
+                self.wait_until_finished()  # drain the async checkpoint writer
+            finally:
+                logger.close()  # flush metrics even if the ckpt drain raised
 
     # ------------------------------------------------------------ inspection
     def plot_generator(self, location: str):
