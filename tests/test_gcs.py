@@ -1,0 +1,248 @@
+"""Faked-GCS coverage of the gs:// transports (VERDICT r3 missing item 2).
+
+The production output path writes neuroglancer blocks to GCS buckets
+(reference model_cloudrun/transferem.py:158-189, custom_online/
+predictor.py:100-148) and fetches models from the MODEL_BUCKET bucket
+(model_cloudrun/transferem.py:85-116).  No network here, so
+``google.cloud.storage.Client`` is replaced by an in-memory fake that
+records exactly what a real bucket would receive (blob names, payload
+bytes, content encoding/type) — a typo in blob naming or prefix layout
+fails these tests instead of shipping silently.
+"""
+
+import gzip
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transfer_em_tpu.config import ExportMeta
+from transfer_em_tpu.infer.export import export_generator
+from transfer_em_tpu.models import UNetGenerator
+from transfer_em_tpu.serve import DataService, NumpyVolume, register_volume
+
+pytest.importorskip("google.cloud.storage")
+
+
+# ------------------------------------------------------ in-memory GCS fake
+
+class FakeBlob:
+    def __init__(self, store, name):
+        self._store = store
+        self.name = name
+        self.content_encoding = None
+
+    def upload_from_string(self, data, content_type=None):
+        if isinstance(data, str):
+            data = data.encode()
+        self._store[self.name] = {
+            "data": bytes(data),
+            "content_encoding": self.content_encoding,
+            "content_type": content_type,
+        }
+
+    def download_to_filename(self, filename):
+        with open(filename, "wb") as f:
+            f.write(self._store[self.name]["data"])
+
+
+class FakeBucket:
+    def __init__(self, buckets, name):
+        self.name = name
+        self.store = buckets.setdefault(name, {})
+
+    def blob(self, name):
+        return FakeBlob(self.store, name)
+
+
+@pytest.fixture()
+def fake_gcs(monkeypatch):
+    """Patch google.cloud.storage.Client; returns {bucket: {blob: rec}}."""
+    from google.cloud import storage
+
+    buckets = {}
+
+    class FakeClient:
+        def __init__(self, *a, **k):
+            pass
+
+        def bucket(self, name):
+            return FakeBucket(buckets, name)
+
+        def list_blobs(self, bucket, prefix=""):
+            store = (bucket.store if isinstance(bucket, FakeBucket)
+                     else buckets.setdefault(bucket, {}))
+            for name in sorted(store):
+                if name.startswith(prefix):
+                    yield FakeBlob(store, name)
+
+    monkeypatch.setattr(storage, "Client", FakeClient)
+    return buckets
+
+
+# ------------------------------------------------------------ block writer
+
+def test_write_ng_blocks_gcs_blob_contract(fake_gcs):
+    """Block names, prefix layout, gzip payloads, and headers match the
+    reference upload (model_cloudrun/transferem.py:172-189)."""
+    from transfer_em_tpu.serve.model_service import write_ng_blocks
+
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, size=(64, 64, 128), dtype=np.uint8)  # zyx
+    write_ng_blocks(data, "gs://out-bucket/pred/run1", (256, 64, 0))
+
+    store = fake_gcs["out-bucket"]
+    assert sorted(store) == ["pred/run1/256-320_64-128_0-64",
+                             "pred/run1/320-384_64-128_0-64"]
+    for name, rec in store.items():
+        assert rec["content_encoding"] == "gzip"
+        assert rec["content_type"] == "application/octet-stream"
+        x0 = int(name.rsplit("/", 1)[1].split("-")[0]) - 256
+        block = np.frombuffer(gzip.decompress(rec["data"]),
+                              np.uint8).reshape(64, 64, 64)
+        np.testing.assert_array_equal(block, data[:, :, x0:x0 + 64])
+
+
+def test_write_ng_blocks_gcs_matches_local_dir(fake_gcs, tmp_path):
+    """The gs:// branch and the local-dir branch produce byte-identical
+    artifacts under identical names."""
+    from transfer_em_tpu.serve.model_service import write_ng_blocks
+
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 256, size=(128, 64, 64), dtype=np.uint8)
+    write_ng_blocks(data, "gs://b/p", (0, 0, 64))
+    write_ng_blocks(data, str(tmp_path / "local"), (0, 0, 64))
+
+    # (decompress both: gzip.compress stamps wall-clock MTIME in the header)
+    local = {n: gzip.decompress(open(tmp_path / "local" / n, "rb").read())
+             for n in os.listdir(tmp_path / "local")}
+    gcs = {n[len("p/"):]: gzip.decompress(rec["data"])
+           for n, rec in fake_gcs["b"].items()}
+    assert local == gcs and len(local) == 2
+
+
+# ----------------------------------------------------- ng-output predictor
+
+@pytest.fixture(scope="module")
+def exported3d(tmp_path_factory):
+    d = tmp_path_factory.mktemp("export") / "model"
+    gen = UNetGenerator(wf=32)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 74, 74, 74, 1)))
+    meta = ExportMeta(buffer=17, outdimsize=40, meanstd_x=(0.1, 0.9),
+                      meanstd_y=(0.2, 1.1), dimsize=74, is3d=True, wf=32)
+    export_generator(params, meta, str(d))
+    return str(d), gen, params, meta
+
+
+@pytest.fixture(scope="module")
+def data_service():
+    rng = np.random.default_rng(0)
+    vol = rng.integers(0, 255, size=(160, 160, 160), dtype=np.uint8)
+    register_volume("gcsbucket/vol", NumpyVolume(vol))
+    svc = DataService()
+    svc.start()
+    yield svc
+    svc.stop()
+
+
+def test_ng_output_predictor_gcs(fake_gcs, exported3d, data_service):
+    """NgOutputPredictor with a gs:// dest_root publishes the ng volume to
+    the bucket: PLAIN info manifest (reference custom_online/predictor.py:
+    126-127 uploads it without gzip) + gzip blocks under <name>/64_64_64/,
+    and the result equals the local-dir rendition of the same prediction."""
+    from transfer_em_tpu.serve import NgOutputPredictor
+
+    d, *_ = exported3d
+    pred = NgOutputPredictor.from_path(d, dest_root="gs://ng-bucket/tmp")
+    inst = {"location": "gcsbucket/vol", "cloudrun": data_service.url,
+            "start": (64, 64, 64), "size": (64, 64, 64)}
+    (url,) = pred.predict([inst])
+    pred.close()
+    assert url.startswith("https://") and "precomputed://gs://ng-bucket" in url
+
+    store = fake_gcs["ng-bucket"]
+    names = sorted(store)
+    assert len(names) == 2, names
+    info_name, = [n for n in names if n.endswith("/info")]
+    block_name, = [n for n in names if "/64_64_64/" in n]
+    run = info_name[len("tmp/"):-len("/info")]
+    assert block_name == f"tmp/{run}/64_64_64/0-64_0-64_0-64"
+
+    # info: PLAIN JSON, no content-encoding.
+    info_rec = store[info_name]
+    assert info_rec["content_encoding"] is None
+    info = json.loads(info_rec["data"])
+    assert info["scales"][0]["size"] == [64, 64, 64]
+    assert info["scales"][0]["chunk_sizes"] == [[64, 64, 64]]
+
+    # block: gzip, and identical voxels to the local-dir predictor run.
+    pred_local = NgOutputPredictor.from_path(
+        d, dest_root=str(os.path.join(os.path.dirname(d), "ng_local")))
+    pred_local.predict([dict(inst)])
+    pred_local.close()
+    import glob
+    (local_block,) = glob.glob(os.path.join(
+        os.path.dirname(d), "ng_local", "*", "64_64_64", "*"))
+    # gzip.compress stamps MTIME in the header; compare the voxel payloads
+    assert (gzip.decompress(open(local_block, "rb").read())
+            == gzip.decompress(store[block_name]["data"]))
+
+
+# ------------------------------------------------------- model cache fetch
+
+def test_model_cache_fetches_from_gcs(fake_gcs, exported3d):
+    """ModelCache with a gs:// root stages the export dir from the bucket
+    (reference MODEL_BUCKET download, model_cloudrun/transferem.py:85-116)
+    and serves the same params as the local export."""
+    from transfer_em_tpu.serve.model_service import ModelCache
+
+    d, gen, params, meta = exported3d
+    store = fake_gcs.setdefault("model-bucket", {})
+    for fname in os.listdir(d):
+        with open(os.path.join(d, fname), "rb") as f:
+            FakeBlob(store, f"models/em2em/v1/{fname}").upload_from_string(
+                f.read())
+
+    cache = ModelCache("gs://model-bucket/models")
+    gen2, params2, meta2, _ = cache.get("em2em:v1")
+    assert meta2.buffer == meta.buffer and meta2.wf == meta.wf
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # second get: cache hit, no re-download (entry identity preserved)
+    assert cache.get("em2em:v1")[1] is params2
+
+    with pytest.raises(FileNotFoundError, match="no model blobs"):
+        cache.get("missing:v9")
+    cache.close()
+
+
+# ----------------------------------------------- tensorstore gcs spec shape
+
+def test_open_tensorstore_gcs_spec(monkeypatch):
+    """'bucket/path' locations build the gcs kvstore spec the reference uses
+    (generators.py:116-126): bucket = first component, path = the rest."""
+    import tensorstore as ts
+
+    from transfer_em_tpu.data import sources
+
+    captured = {}
+
+    class FakeDS:
+        def __getitem__(self, *_):
+            return self
+
+        def result(self):
+            return self
+
+    def fake_open(spec):
+        captured.update(spec)
+        return FakeDS()
+
+    monkeypatch.setattr(ts, "open", fake_open)
+    sources.open_tensorstore("mybucket/em/snapshot", scale_index=2)
+    assert captured["kvstore"] == {"driver": "gcs", "bucket": "mybucket"}
+    assert captured["path"] == "em/snapshot"
+    assert captured["scale_index"] == 2

@@ -109,13 +109,21 @@ class BlockWriter:
         else:
             os.makedirs(dest, exist_ok=True)
 
-    def write(self, name: str, raw: bytes):
-        payload = gzip.compress(raw)
+    def write(self, name: str, raw: bytes, compress: bool = True):
+        """compress=True: gzip + (on GCS) Content-Encoding: gzip, the
+        reference's block upload (model_cloudrun/transferem.py:182-184).
+        compress=False: verbatim upload — the reference stores the ``info``
+        manifest PLAIN (custom_online/predictor.py:126-127), and gzipping it
+        would desync the gs:// path from the local-dir path."""
+        payload = gzip.compress(raw) if compress else raw
         if self.is_gcs:
             blob = self.bucket.blob(f"{self.prefix}/{name}")
-            blob.content_encoding = "gzip"
-            blob.upload_from_string(payload,
-                                    content_type="application/octet-stream")
+            if compress:
+                blob.content_encoding = "gzip"
+                blob.upload_from_string(
+                    payload, content_type="application/octet-stream")
+            else:
+                blob.upload_from_string(payload)
         else:
             with open(os.path.join(self.dest, name), "wb") as f:
                 f.write(payload)
@@ -169,6 +177,42 @@ class ModelCache:
         self.capacity = int(capacity)
         self._lock = threading.Lock()
         self._entries = OrderedDict()  # name -> (gen, params, meta, batcher)
+        self._gcs_dir = None  # local staging dir for gs:// model downloads
+
+    def _download_gcs_model(self, parts) -> str:
+        """Stage an exported model dir from GCS onto local disk.
+
+        The reference model service downloads the SavedModel from the
+        MODEL_BUCKET bucket into a local dir on every cache miss
+        (model_cloudrun/transferem.py:85-116); here the artifact is our
+        export dir (generator.msgpack + meta.json — or a reference TF
+        export, which load_generator also accepts), fetched blob-by-blob
+        under the '<root-prefix>/<name>/<version>/' prefix."""
+        import tempfile
+
+        from google.cloud import storage  # gated: only on gs:// roots
+        rest = self.model_root[len("gs://"):].split("/")
+        bucket_name, prefix_parts = rest[0], [p for p in rest[1:] if p]
+        prefix = "/".join(prefix_parts + list(parts))
+        if self._gcs_dir is None:
+            self._gcs_dir = tempfile.mkdtemp(prefix="tem_models_")
+        local = os.path.join(self._gcs_dir, *parts)
+        os.makedirs(local, exist_ok=True)
+        client = storage.Client()
+        bucket = client.bucket(bucket_name)
+        n = 0
+        for blob in client.list_blobs(bucket, prefix=prefix + "/"):
+            rel = blob.name[len(prefix) + 1:]
+            if not rel or rel.endswith("/"):
+                continue
+            dst = os.path.join(local, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            blob.download_to_filename(dst)
+            n += 1
+        if n == 0:
+            raise FileNotFoundError(
+                f"no model blobs under gs://{bucket_name}/{prefix}/")
+        return local
 
     def get(self, model_name: str):
         evicted = None
@@ -178,7 +222,10 @@ class ModelCache:
                 return self._entries[model_name]
             # "name:version" -> <root>/name/version/ (reference naming)
             parts = model_name.split(":")
-            path = os.path.join(self.model_root, *parts)
+            if self.model_root.startswith("gs://"):
+                path = self._download_gcs_model(parts)
+            else:
+                path = os.path.join(self.model_root, *parts)
             gen, params, meta = load_generator(path)
             batcher = (self.batcher_factory(gen, params, meta)
                        if self.batcher_factory else None)

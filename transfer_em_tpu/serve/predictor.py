@@ -134,7 +134,10 @@ class NgOutputPredictor(TransferEMPredictor):
         if dest.startswith("gs://"):
             from .model_service import BlockWriter
             writer = BlockWriter(dest)
-            write_ng_info(dest, size_xyz, writer.write)
+            # info is stored PLAIN (reference custom_online/predictor.py:
+            # 126-127 uploads it without gzip), unlike the 64^3 blocks.
+            write_ng_info(dest, size_xyz,
+                          lambda n, b: writer.write(n, b, compress=False))
             write_ng_blocks(vol_zyx, dest + "/64_64_64", (0, 0, 0))
         else:
             os.makedirs(dest, exist_ok=True)
