@@ -14,7 +14,12 @@ here; it published no numbers of its own — BASELINE.md).  The TF measurement
 is cached in BENCH_BASELINE_TF.json after the first run.
 
 Run: python bench.py            (real TPU chip via default platform)
-     JAX_PLATFORMS=cpu python bench.py   (debug)
+     python bench.py --cpu      (framework bridge: OUR step on this host's
+                                 CPU vs the TF reference on the same CPU —
+                                 a pure framework-vs-framework ratio with
+                                 hardware held fixed, anchoring the
+                                 TF-GPU-equivalent estimate chain in
+                                 PERF.md; VERDICT r3 item 3)
 """
 
 import json
@@ -37,7 +42,8 @@ STEPS = 20
 WARMUP = 3
 
 
-def measure_jax(batch: int, accum: int = 1) -> float:
+def measure_jax(batch: int, accum: int = 1, steps: int = STEPS,
+                compute_dtype: str = "bfloat16") -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -46,7 +52,7 @@ def measure_jax(batch: int, accum: int = 1) -> float:
     from transfer_em_tpu.train import create_state, make_train_step
 
     cfg = CycleGANConfig(dimsize=DIMSIZE, is3d=True, wf=8,
-                         compute_dtype="bfloat16", accum_steps=accum)
+                         compute_dtype=compute_dtype, accum_steps=accum)
     state = create_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg, donate=True)
     rng = np.random.default_rng(0)
@@ -62,11 +68,11 @@ def measure_jax(batch: int, accum: int = 1) -> float:
     # can return before the dependency chain executes; np.asarray(loss) of
     # the final step forces steps 1..N-1 (each consumes the prior state).
     t0 = time.perf_counter()
-    for _ in range(STEPS):
+    for _ in range(steps):
         state, loss = step(state, x, y, key)
     np.asarray(loss)
     dt = time.perf_counter() - t0
-    return batch * STEPS / dt
+    return batch * steps / dt
 
 
 def measure_tf_reference() -> float:
@@ -119,6 +125,33 @@ def _measure_tf_reference_uncached() -> float:
         import shutil
         shutil.rmtree("./checkpoints/train_bench_tf_baseline",
                       ignore_errors=True)
+
+
+def main_cpu_bridge():
+    """Same-hardware framework bridge: OUR train step on this host's CPU
+    (f32 — TF's CPU path computes f32, so dtype is held equal too) vs the
+    reference TF2 step on the same cores (BENCH_BASELINE_TF.json).  This
+    is the one measurement this rig can make with hardware held fixed; it
+    anchors PERF.md's TF-GPU-equivalent estimate with a measured
+    framework-vs-framework datum (VERDICT r3 item 3)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # sitecustomize forces axon
+    results = {}
+    for batch in (1, 2, 4):
+        steps = max(2, min(6, 8 // batch))
+        results[batch] = measure_jax(batch, steps=steps,
+                                     compute_dtype="float32")
+        print(f"# cpu B={batch}: {results[batch]:.3f} tiles/s",
+              file=sys.stderr)
+    best_b = max(results, key=lambda b: results[b])
+    tf_baseline = measure_tf_reference()
+    print(json.dumps({
+        "metric": "cpu_framework_bridge_tiles74_per_sec",
+        "value": round(results[best_b], 3), "unit": "tiles/s",
+        "vs_baseline": round(results[best_b] / tf_baseline, 2),
+        "note": f"JAX/XLA CPU f32 vs reference TF2 CPU ({tf_baseline} "
+                f"tiles/s) on the SAME host; B=1 {results[1]:.3f}, best "
+                f"B={best_b} {results[best_b]:.3f} tiles/s"}))
 
 
 def main():
@@ -177,4 +210,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--cpu" in sys.argv:
+        main_cpu_bridge()
+    else:
+        main()

@@ -262,6 +262,275 @@ def bench_combined(n_clients=16, batch=8, epoch_size=32, extent=192,
         shutil.rmtree("./checkpoints/train_bench_comb", ignore_errors=True)
 
 
+def _tree_pids(root_pid):
+    """root + all descendant pids (via /proc/<pid>/task/*/children)."""
+    out, todo = [], [root_pid]
+    while todo:
+        pid = todo.pop()
+        out.append(pid)
+        try:
+            for task in os.listdir(f"/proc/{pid}/task"):
+                with open(f"/proc/{pid}/task/{task}/children") as f:
+                    todo.extend(int(c) for c in f.read().split())
+        except OSError:
+            pass
+    return out
+
+
+def _tree_rss_mb(root_pid):
+    total = 0
+    for pid in _tree_pids(root_pid):
+        try:
+            with open(f"/proc/{pid}/statm") as f:
+                total += int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE")
+        except OSError:
+            pass
+    return total / 1e6
+
+
+def _fd_count(pid):
+    try:
+        return len(os.listdir(f"/proc/{pid}/fd"))
+    except OSError:
+        return -1
+
+
+def _drift_stats(latencies):
+    """(p50_first_decile, p50_last_decile, p95_overall) in ms."""
+    import numpy as np
+    lat = np.asarray(latencies)
+    n = max(len(lat) // 10, 1)
+    return (float(np.median(lat[:n]) * 1e3),
+            float(np.median(lat[-n:]) * 1e3),
+            float(np.percentile(lat, 95) * 1e3))
+
+
+def bench_soak_data(total_reqs=10_000, n_clients=8, workers=4):
+    """Sustained-load soak of the DataService (VERDICT r3 item 5a): >=10k
+    mixed /volume + /slice requests against a prefork service with ONE
+    deliberate worker SIGKILL mid-run.  Bars: latency drift (last-decile
+    p50 < 2x first-decile), fd stability on the service tree, bounded RSS
+    growth, error budget around the kill, and worker-respawn recovery."""
+    import signal
+    import threading
+
+    import numpy as np
+    import requests
+
+    rng = np.random.default_rng(0)
+    vol = rng.integers(0, 255, size=(256, 256, 256), dtype=np.uint8)
+    url, svc_proc, tmp = _spawn_data_service({"soakbucket/vol": vol}, workers)
+    log(f"soak: data service on {url} (workers={workers}, "
+        f"target {total_reqs} reqs, one worker kill mid-run)")
+
+    counter = [0]
+    errors = [0]
+    lock = threading.Lock()
+    latencies = []
+    killed = [None]
+
+    def worker_pids():
+        return [p for p in _tree_pids(svc_proc.pid) if p != svc_proc.pid]
+
+    def client(cid):
+        session = requests.Session()
+        my_lat = []
+        while True:
+            with lock:
+                i = counter[0]
+                if i >= total_reqs:
+                    break
+                counter[0] += 1
+            t0 = time.perf_counter()
+            try:
+                if i % 2 == 0:
+                    start = [64 * ((cid + i) % 4), 64 * (i % 4),
+                             64 * ((i // 7) % 4)]
+                    cfg = {"location": "soakbucket/vol", "start": start,
+                           "size": [64, 64, 64]}
+                    r = session.post(url + "/volume", data=json.dumps(cfg),
+                                     timeout=30)
+                    ok = r.status_code == 200 and len(r.content) == 64 ** 3
+                else:
+                    z = i % 256
+                    r = session.get(
+                        f"{url}/slice/0_0_{z}/256_256_1/png"
+                        f"?location=soakbucket/vol", timeout=30)
+                    ok = r.status_code == 200
+            except Exception:
+                ok = False
+                # a killed worker resets its in-flight connections; drop
+                # the session so the pool reconnects to a live worker
+                session = requests.Session()
+            if not ok:
+                with lock:
+                    errors[0] += 1
+            my_lat.append((i, time.perf_counter() - t0))
+        with lock:
+            latencies.extend(my_lat)
+
+    rss0 = _tree_rss_mb(svc_proc.pid)
+    fds0 = _fd_count(svc_proc.pid)
+    n_workers0 = len(worker_pids())
+
+    def killer():
+        # at ~40%: SIGKILL one prefork worker; the arbiter must respawn it
+        while counter[0] < total_reqs * 2 // 5:
+            time.sleep(0.2)
+        pids = worker_pids()
+        if pids:
+            victim = pids[0]
+            os.kill(victim, signal.SIGKILL)
+            killed[0] = victim
+            log(f"soak: SIGKILLed worker {victim} at req ~{counter[0]}")
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(n_clients)]
+    kt = threading.Thread(target=killer, daemon=True)
+    for t in threads:
+        t.start()
+    kt.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    time.sleep(1.5)  # let the arbiter finish any respawn
+    n_workers1 = len(worker_pids())
+    rss1 = _tree_rss_mb(svc_proc.pid)
+    fds1 = _fd_count(svc_proc.pid)
+
+    latencies.sort(key=lambda p: p[0])
+    lat = [d for _, d in latencies]
+    p50a, p50b, p95 = _drift_stats(lat)
+    bars = {
+        "latency_drift_ok": p50b < 2 * p50a + 2.0,  # +2ms floor for tiny p50
+        "fd_stable_ok": fds1 <= fds0 + 16,
+        "rss_bounded_ok": rss1 - rss0 < 200.0,
+        "errors_ok": errors[0] <= max(2 * n_clients, total_reqs * 0.005),
+        "respawn_ok": killed[0] is not None and n_workers1 == n_workers0,
+    }
+    ok = all(bars.values())
+    log(f"soak data: {total_reqs} reqs in {wall:.1f}s "
+        f"({total_reqs / wall:.0f} req/s), errors {errors[0]}, "
+        f"p50 first/last decile {p50a:.1f}/{p50b:.1f} ms p95 {p95:.1f} ms, "
+        f"rss {rss0:.0f}->{rss1:.0f} MB, fds {fds0}->{fds1}, "
+        f"workers {n_workers0}->{n_workers1} (killed {killed[0]})")
+    svc_proc.terminate()
+    svc_proc.wait(timeout=15)
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps({
+        "metric": "serve_soak_data_req_per_sec",
+        "value": round(total_reqs / wall, 1), "unit": "req/s",
+        "vs_baseline": 1.0 if ok else 0.0,
+        "note": f"PASS={ok} bars={bars} errors={errors[0]} "
+                f"p50 {p50a:.1f}->{p50b:.1f}ms rss +{rss1 - rss0:.0f}MB "
+                f"fds {fds0}->{fds1}"}))
+    return ok
+
+
+def bench_soak_model(total_reqs=1000, n_clients=8):
+    """Model-service soak: sustained concurrent 64^3 chunk requests through
+    the full predict path (batching ON), latency-drift + fd bars on our own
+    process.  RSS is recorded against the H2D budget rather than barred:
+    the axon tunnel client leaks every host->device byte into host RSS
+    (CLAUDE.md; PERF.md 'Streaming-training soak'), so on this rig RSS grows
+    by ~the soak's H2D traffic by construction."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from transfer_em_tpu.config import ExportMeta
+    from transfer_em_tpu.infer.export import export_generator
+    from transfer_em_tpu.models import UNetGenerator
+    from transfer_em_tpu.serve import (ModelService, NumpyVolume,
+                                       predict_chunk, register_volume)
+
+    log(f"soak model: platform {jax.default_backend()}; "
+        f"{total_reqs} x 64^3 chunk requests, {n_clients} clients")
+    rng = np.random.default_rng(0)
+    vol = rng.integers(0, 255, size=(256, 256, 256), dtype=np.uint8)
+    register_volume("soakbucket/vol", NumpyVolume(vol))
+
+    gen = UNetGenerator(wf=8)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 74, 74, 74, 1)))
+    meta = ExportMeta(buffer=17, outdimsize=40, meanstd_x=(0.1, 0.9),
+                      meanstd_y=(0.2, 1.1), dimsize=74, is3d=True, wf=8)
+    root = tempfile.mkdtemp(prefix="soak_model_")
+    os.makedirs(os.path.join(root, "m"))
+    export_generator(params, meta, os.path.join(root, "m", "v"))
+    dest_root = tempfile.mkdtemp(prefix="soak_model_out_")
+
+    svc = ModelService(model_root=root, max_inflight=n_clients)
+    svc.start()
+    me = os.getpid()
+    latencies = []
+    errors = [0]
+    lock = __import__("threading").Lock()
+    per_dim = 256 // CHUNK
+
+    def req(i):
+        start = (CHUNK * (i % per_dim), CHUNK * ((i // per_dim) % per_dim),
+                 CHUNK * ((i // per_dim ** 2) % per_dim))
+        t0 = time.perf_counter()
+        try:
+            predict_chunk(svc.url, "soakbucket/vol", start=start,
+                          size=(CHUNK,) * 3, model_name="m:v",
+                          dest=os.path.join(dest_root, str(i % 64)))
+            ok = True
+        except Exception as e:
+            ok = False
+            log(f"soak model req {i} failed: {e}")
+        with lock:
+            if not ok:
+                errors[0] += 1
+            latencies.append((i, time.perf_counter() - t0))
+
+    # warmup: compile the tile program shapes
+    req(0)
+    latencies.clear()
+    rss0 = _tree_rss_mb(me)
+    fds0 = _fd_count(me)
+    t0 = time.perf_counter()
+    with cf.ThreadPoolExecutor(max_workers=n_clients) as ex:
+        list(ex.map(req, range(total_reqs)))
+    wall = time.perf_counter() - t0
+    rss1 = _tree_rss_mb(me)
+    fds1 = _fd_count(me)
+
+    latencies.sort(key=lambda p: p[0])
+    lat = [d for _, d in latencies]
+    p50a, p50b, p95 = _drift_stats(lat)
+    # H2D budget: each request moves one (64+2*buffer)^3 uint8 input through
+    # the tunnel (plus tile padding); allow 3x slack over the raw voxels.
+    h2d_mb = total_reqs * (CHUNK + 2 * meta.buffer) ** 3 / 1e6
+    bars = {
+        "latency_drift_ok": p50b < 2 * p50a,
+        "fd_stable_ok": fds1 <= fds0 + 16,
+        "errors_ok": errors[0] == 0,
+        "rss_within_h2d_budget_ok": rss1 - rss0 < 3 * h2d_mb + 300,
+    }
+    ok = all(bars.values())
+    vox_rate = total_reqs * CHUNK ** 3 / wall / 1e6
+    log(f"soak model: {total_reqs} reqs in {wall:.1f}s "
+        f"({total_reqs / wall:.2f} req/s, {vox_rate:.1f} Mvox/s), errors "
+        f"{errors[0]}, p50 first/last {p50a:.0f}/{p50b:.0f} ms p95 {p95:.0f}"
+        f" ms, rss {rss0:.0f}->{rss1:.0f} MB (h2d budget ~{h2d_mb:.0f} MB), "
+        f"fds {fds0}->{fds1}")
+    svc.stop()
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(dest_root, ignore_errors=True)
+    print(json.dumps({
+        "metric": "serve_soak_model_req_per_sec",
+        "value": round(total_reqs / wall, 2), "unit": "req/s",
+        "vs_baseline": 1.0 if ok else 0.0,
+        "note": f"PASS={ok} bars={bars} errors={errors[0]} "
+                f"p50 {p50a:.0f}->{p50b:.0f}ms p95 {p95:.0f}ms "
+                f"rss +{rss1 - rss0:.0f}MB (h2d ~{h2d_mb:.0f}MB) "
+                f"fds {fds0}->{fds1}"}))
+    return ok
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -350,5 +619,13 @@ if __name__ == "__main__":
         bench_data_fleet()
     elif which == "combined":
         bench_combined()
+    elif which == "soak":
+        # data-service soak first (jax-free subprocess), then the model
+        # path on the chip; exit nonzero if either soak's bars fail
+        ok1 = bench_soak_data(
+            total_reqs=int(os.environ.get("SOAK_DATA_REQS", "10000")))
+        ok2 = bench_soak_model(
+            total_reqs=int(os.environ.get("SOAK_MODEL_REQS", "1000")))
+        sys.exit(0 if ok1 and ok2 else 1)
     else:
         main()

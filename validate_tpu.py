@@ -9,7 +9,9 @@ Two checks, both measured in round 1 (PERF.md "bf16 training convergence"):
 2. --soak: 1000-step 3D wf=8 bf16 run on structured patches — convergence
    (measured 2.9 -> 0.16), every loss finite, discriminators balanced.
 
-Run:  python validate_tpu.py [--accum] [--soak]
+Run:  python validate_tpu.py [--accum] [--soak] [--wf1] [--stream]
+(--wf1: the same 2D warp-fixture convergence bar at wf=1, the full-width
+~43% MFU regime — VERDICT r3 item 2.)
 (On the remotely-attached chip allow ~5-10 min with a warm compile cache —
 up to ~3x that if convergence needs the full 600-step window.)
 
@@ -51,7 +53,7 @@ def blobby(rng, n, size, ndim, k=8):
     return out
 
 
-def check_2d_convergence(max_steps=600, accum_steps=1):
+def check_2d_convergence(max_steps=600, accum_steps=1, wf=32):
     """2D warp-fixture run in bf16 (the CPU test's exact recipe): the cycle
     loss must HALVE within ``max_steps``.
 
@@ -63,6 +65,10 @@ def check_2d_convergence(max_steps=600, accum_steps=1):
     ``accum_steps=2`` (--accum) validates the gradient-accumulation path
     learns on hardware — the config bench.py measures (accum=2, the
     measured-fastest training configuration; PERF.md).
+
+    ``wf=1`` (--wf1) validates the FULL-WIDTH regime (64-512 channels, the
+    ~43% MFU operating point PERF.md records) learns in bf16 — the widths
+    where bf16 accumulation error is largest (VERDICT r3 item 2).
     """
     import tempfile
 
@@ -77,7 +83,7 @@ def check_2d_convergence(max_steps=600, accum_steps=1):
     source_ds, _ = create_dataset_from_tensors(
         patches, batch_size=4, custom_map=warp, enable_augmentation=False,
         seed=2)
-    model = EM2EM(74, f"validate2d_a{accum_steps}", is3d=False, wf=32,
+    model = EM2EM(74, f"validate2d_a{accum_steps}_wf{wf}", is3d=False, wf=wf,
                   checkpoint_root=tempfile.mkdtemp(), seed=3,
                   compute_dtype="bfloat16", accum_steps=accum_steps)
     hist = []
@@ -97,7 +103,7 @@ def check_2d_convergence(max_steps=600, accum_steps=1):
             print(f"[2d] step {len(hist)} ({time.time()-t0:.1f}s): "
                   f"cycle {first:.3f} -> {last:.3f}", flush=True)
             if last < first * 0.5:
-                print(f"[2d] CONVERGENCE OK (bf16, wf=32, halved by step "
+                print(f"[2d] CONVERGENCE OK (bf16, wf={wf}, halved by step "
                       f"{len(hist)})")
                 return
     if first is None:  # loop never reached a probe point
@@ -258,6 +264,8 @@ def check_stream_soak(steps=1000, batch=8, epoch_size=64, extent=192):
 if __name__ == "__main__":
     if "--stream" in sys.argv:
         check_stream_soak()
+    elif "--wf1" in sys.argv:
+        check_2d_convergence(wf=1)
     else:
         check_2d_convergence(accum_steps=2 if "--accum" in sys.argv else 1)
         if "--soak" in sys.argv:
