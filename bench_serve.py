@@ -416,6 +416,42 @@ def bench_soak_data(total_reqs=10_000, n_clients=8, workers=4):
         f"p50 first/last decile {p50a:.1f}/{p50b:.1f} ms p95 {p95:.1f} ms, "
         f"rss {rss0:.0f}->{rss1:.0f} MB, fds {fds0}->{fds1}, "
         f"workers {n_workers0}->{n_workers1} (killed {killed[0]})")
+
+    # Fleet rerun AT the soak point (VERDICT r3 item 8): the bench_data_
+    # fleet measurement pattern against THIS warm, soaked service — one
+    # respawned worker serving a cold LRU — to confirm no post-soak
+    # degradation of the recorded fleet figure.
+    def fleet_client(args):
+        cid, session = args
+        vox = 0
+        for i in range(24):
+            if i % 2 == 0:
+                start = [64 * ((cid + i) % 4), 64 * (cid % 4), 64 * (i % 4)]
+                cfg = {"location": "soakbucket/vol", "start": start,
+                       "size": [64, 64, 64]}
+                r = session.post(url + "/volume", data=json.dumps(cfg),
+                                 timeout=30)
+                assert r.status_code == 200 and len(r.content) == 64 ** 3
+            else:
+                z = (cid * 24 + i) % 256
+                r = session.get(f"{url}/slice/0_0_{z}/256_256_1/png"
+                                f"?location=soakbucket/vol", timeout=30)
+                assert r.status_code == 200
+        return 24
+
+    sessions = [requests.Session() for _ in range(16)]
+    best = None
+    for rep in range(3):  # rep 0 warms connections
+        t0 = time.perf_counter()
+        with cf.ThreadPoolExecutor(max_workers=16) as ex:
+            nreq = sum(ex.map(fleet_client, enumerate(sessions)))
+        dt = time.perf_counter() - t0
+        if rep:
+            best = min(best, dt) if best else dt
+    post_fleet = 16 * 24 / best
+    log(f"soak data: post-soak fleet rerun {post_fleet:.0f} req/s "
+        f"(16 clients x 24, warm soaked service, respawned worker)")
+
     svc_proc.terminate()
     svc_proc.wait(timeout=15)
     shutil.rmtree(tmp, ignore_errors=True)
@@ -425,7 +461,7 @@ def bench_soak_data(total_reqs=10_000, n_clients=8, workers=4):
         "vs_baseline": 1.0 if ok else 0.0,
         "note": f"PASS={ok} bars={bars} errors={errors[0]} "
                 f"p50 {p50a:.1f}->{p50b:.1f}ms rss +{rss1 - rss0:.0f}MB "
-                f"fds {fds0}->{fds1}"}))
+                f"fds {fds0}->{fds1} post_soak_fleet={post_fleet:.0f}req/s"}))
     return ok
 
 
