@@ -137,7 +137,11 @@ def main_cpu_bridge():
     import jax
     jax.config.update("jax_platforms", "cpu")  # sitecustomize forces axon
     results = {}
-    for batch in (1, 2, 4):
+    # B=1 and B=2 only: this box exposes ONE core (nproc=1, cgroup-pinned),
+    # the step is compute-bound there (B=1 and B=2 both measured 0.018
+    # tiles/s, 2026-08-20), and each further batch size costs a 10-15 min
+    # XLA CPU compile for no information.
+    for batch in (1, 2):
         steps = max(2, min(6, 8 // batch))
         results[batch] = measure_jax(batch, steps=steps,
                                      compute_dtype="float32")
