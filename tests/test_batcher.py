@@ -299,3 +299,38 @@ def test_tile_batcher_cross_thread_coalescing_single_batch(small_model, vol):
         assert s["batches"] == 1, s
     finally:
         batcher.close()
+
+
+def test_bucket_ladder_granule_bounds_padding():
+    """Round-4 bucket ladder: multiples of ``bucket_granule`` (default 8)
+    instead of powers of two — pad waste is bounded at granule-1 slots per
+    batch (the round-4 soak measured 57% occupancy under pow2; pad slots
+    cost H2D bytes and device FLOPs)."""
+    b = TileBatcher(_fake_step, insize=4, max_batch=128, min_bucket=8)
+    try:
+        assert [b._bucket(k) for k in (1, 8, 9, 16, 17, 24, 25, 65, 121, 128)] \
+            == [8, 8, 16, 16, 24, 24, 32, 72, 128, 128]
+    finally:
+        b.close()
+    # Granule interacts with the mesh data-axis rounding (multiple) and the
+    # max_batch clamp exactly as the pow2 ladder did.
+    b = TileBatcher(_fake_step, insize=4, max_batch=128, min_bucket=8,
+                    multiple=3)
+    try:
+        assert b._bucket(9) == 18   # round_up(9, 8) = 16 -> multiple of 3
+    finally:
+        b.close()
+    b = TileBatcher(_fake_step, insize=4, max_batch=4, min_bucket=1)
+    try:
+        assert [b._bucket(k) for k in (1, 3, 4)] == [4, 4, 4]  # clamped
+    finally:
+        b.close()
+
+
+def test_bucket_granule_one_restores_exact_batches():
+    b = TileBatcher(_fake_step, insize=4, max_batch=128, min_bucket=1,
+                    bucket_granule=1)
+    try:
+        assert [b._bucket(k) for k in (1, 3, 7, 100)] == [1, 3, 7, 100]
+    finally:
+        b.close()

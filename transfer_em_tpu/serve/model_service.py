@@ -114,8 +114,12 @@ class BlockWriter:
         reference's block upload (model_cloudrun/transferem.py:182-184).
         compress=False: verbatim upload — the reference stores the ``info``
         manifest PLAIN (custom_online/predictor.py:126-127), and gzipping it
-        would desync the gs:// path from the local-dir path."""
-        payload = gzip.compress(raw) if compress else raw
+        would desync the gs:// path from the local-dir path.
+
+        mtime=0 pins the gzip header so identical payloads produce
+        bit-identical blocks — reproducible artifacts dedupe/cache cleanly
+        (plain ``gzip.compress`` stamps wall-clock time into byte 4)."""
+        payload = gzip.compress(raw, mtime=0) if compress else raw
         if self.is_gcs:
             blob = self.bucket.blob(f"{self.prefix}/{name}")
             if compress:
