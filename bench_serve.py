@@ -545,9 +545,12 @@ def bench_soak_model(total_reqs=1000, n_clients=8):
     # i.e. the tunnel-client leak (CLAUDE.md) faithfully integrating the
     # shipped bytes, not a service leak.
     import urllib.request as _ur
+
+    from transfer_em_tpu.shapes import tile_plan_outdimsize
     stats = json.loads(_ur.urlopen(svc.url + "/stats").read())["batcher"]
     slots = stats["tiles"] + stats["padded"]
-    insize = 74  # (outdimsize 40, buffer 17) -> multiple-of-6 fold -> 74
+    eff_out, eff_buf, _ = tile_plan_outdimsize(meta.outdimsize, meta.buffer)
+    insize = eff_out + 2 * eff_buf  # 74 for (40, 17) after the mult-of-6 fold
     h2d_mb = slots * insize ** 3 / 1e6
     occupancy = stats["tiles"] / max(1, slots)
     bars = {

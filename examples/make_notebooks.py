@@ -81,7 +81,12 @@ def script_to_cells(path, final_cell):
         pending.clear()
 
     for node in body:
-        seg = "".join(lines[node.lineno - 1:node.end_lineno]).rstrip()
+        # Slice from the first decorator, not node.lineno — since py3.8 a
+        # decorated def/class's lineno points at the `def`, and slicing
+        # there would silently drop `@...` lines from the notebook.
+        start = min([node.lineno]
+                    + [d.lineno for d in getattr(node, "decorator_list", [])])
+        seg = "".join(lines[start - 1:node.end_lineno]).rstrip()
         if "sys.path.insert" in seg and "__file__" in seg:
             # __file__ doesn't exist in a notebook: substitute a cwd-based
             # path setup in place (same position, no duplicate imports).

@@ -173,7 +173,16 @@ def test_simple_training_notebook_executes(tmp_path, monkeypatch):
     ns = {}
     code = ["".join(c["source"]) for c in nb["cells"]
             if c["cell_type"] == "code"]
-    for cell_src in code[:-1]:
-        exec(cell_src, ns)
-    ns["main"](epochs=1, wf=32, batch_size=4, n_patches=8)
+    # The PATH_SETUP cell inserts os.path.abspath('..') — correct when run
+    # from examples/, but from tmp_path it would prepend tmp's parent to the
+    # PROCESS-GLOBAL sys.path for every later test (module-shadowing
+    # hazard).  Execute the cells, then restore sys.path.  (Import
+    # resolution in this test comes from the suite's own sys.path.)
+    saved_path = list(sys.path)
+    try:
+        for cell_src in code[:-1]:
+            exec(cell_src, ns)
+        ns["main"](epochs=1, wf=32, batch_size=4, n_patches=8)
+    finally:
+        sys.path[:] = saved_path
     assert (tmp_path / "simple2d_sample.png").exists()

@@ -246,3 +246,54 @@ def test_open_tensorstore_gcs_spec(monkeypatch):
     assert captured["kvstore"] == {"driver": "gcs", "bucket": "mybucket"}
     assert captured["path"] == "em/snapshot"
     assert captured["scale_index"] == 2
+
+
+def test_model_cache_miss_does_not_convoy_hits(fake_gcs, exported3d):
+    """A slow gs:// download for one model must NOT block concurrent gets
+    for an already-resident model (the load runs outside the cache lock),
+    and concurrent misses for the SAME name coalesce onto one download."""
+    import threading
+    import time as _time
+
+    from transfer_em_tpu.serve.model_service import ModelCache
+
+    d, gen, params, meta = exported3d
+    store = fake_gcs.setdefault("model-bucket", {})
+    for fname in os.listdir(d):
+        with open(os.path.join(d, fname), "rb") as f:
+            data = f.read()
+        for ver in ("v1", "v2"):
+            FakeBlob(store, f"models/em2em/{ver}/{fname}").upload_from_string(
+                data)
+
+    cache = ModelCache("gs://model-bucket/models", capacity=2)
+    resident = cache.get("em2em:v1")
+
+    gate = threading.Event()
+    downloads = [0]
+    orig = ModelCache._download_gcs_model
+
+    def slow_download(self, parts):
+        downloads[0] += 1
+        assert gate.wait(30)  # hold the MISS until the hit path is probed
+        return orig(self, parts)
+
+    ModelCache._download_gcs_model = slow_download
+    try:
+        t0 = threading.Thread(target=cache.get, args=("em2em:v2",))
+        t1 = threading.Thread(target=cache.get, args=("em2em:v2",))
+        t0.start(); t1.start()
+        _time.sleep(0.2)  # both miss-threads are inside the slow download
+        # Cache HIT for the resident model completes while the miss hangs.
+        start = _time.monotonic()
+        assert cache.get("em2em:v1") is resident
+        assert _time.monotonic() - start < 5.0
+        gate.set()
+        t0.join(timeout=30); t1.join(timeout=30)
+        assert not t0.is_alive() and not t1.is_alive()
+    finally:
+        ModelCache._download_gcs_model = orig
+        gate.set()
+    assert downloads[0] == 1  # same-name misses coalesced onto one loader
+    assert cache.get("em2em:v2")[2].wf == meta.wf
+    cache.close()

@@ -13,8 +13,9 @@ floor.
 
 ``TileBatcher`` is the TPU-first fix: ONE device-owning worker thread gathers
 tiles from all concurrent requests into shared batches (up to ``max_batch``,
-with a short ``linger_ms`` wait for stragglers), pads to power-of-two bucket
-sizes so only a handful of program shapes ever compile, runs the fused
+with a short ``linger_ms`` wait for stragglers), pads to a multiple-of-8
+bucket ladder (``bucket_granule``) so only a bounded set of program shapes
+ever compiles while pad waste stays under 7 slots/batch, runs the fused
 uint8->uint8 tile step, and resolves each tile's Future.  Results are
 bit-identical to unbatched serving (the tile step is batch-independent);
 ``serve.ModelService`` uses it by default and exposes the occupancy counters

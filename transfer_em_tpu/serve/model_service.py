@@ -181,6 +181,7 @@ class ModelCache:
         self.capacity = int(capacity)
         self._lock = threading.Lock()
         self._entries = OrderedDict()  # name -> (gen, params, meta, batcher)
+        self._loading = {}  # name -> Future, misses in flight (lock held)
         self._gcs_dir = None  # local staging dir for gs:// model downloads
 
     def _download_gcs_model(self, parts) -> str:
@@ -200,8 +201,12 @@ class ModelCache:
         prefix = "/".join(prefix_parts + list(parts))
         if self._gcs_dir is None:
             self._gcs_dir = tempfile.mkdtemp(prefix="tem_models_")
-        local = os.path.join(self._gcs_dir, *parts)
-        os.makedirs(local, exist_ok=True)
+        # FRESH staging dir per fetch: a republished version whose artifact
+        # set changed (e.g. SavedModel -> msgpack) must never mix with the
+        # stale files of an earlier fetch of the same name/version.  The
+        # root is removed in close().
+        local = tempfile.mkdtemp(prefix="_".join(parts) + "_",
+                                 dir=self._gcs_dir)
         client = storage.Client()
         bucket = client.bucket(bucket_name)
         n = 0
@@ -219,11 +224,30 @@ class ModelCache:
         return local
 
     def get(self, model_name: str):
-        evicted = None
+        """Return the cached ``(gen, params, meta, batcher)``, loading on
+        miss.  The load — including the gs:// blob download, which can take
+        seconds-to-minutes — runs OUTSIDE the cache lock: concurrent
+        requests for already-resident models proceed unblocked (no
+        admission-slot convoy), and concurrent misses for the SAME name
+        coalesce onto one loader via a per-name in-flight Future."""
+        import concurrent.futures as cf
+
         with self._lock:
             if model_name in self._entries:
                 self._entries.move_to_end(model_name)
                 return self._entries[model_name]
+            fut = self._loading.get(model_name)
+            if fut is None:
+                fut = cf.Future()
+                self._loading[model_name] = fut
+                loader = True
+            else:
+                loader = False
+        if not loader:
+            return fut.result()  # load result or the loader's exception
+
+        evicted = None
+        try:
             # "name:version" -> <root>/name/version/ (reference naming)
             parts = model_name.split(":")
             if self.model_root.startswith("gs://"):
@@ -234,9 +258,17 @@ class ModelCache:
             batcher = (self.batcher_factory(gen, params, meta)
                        if self.batcher_factory else None)
             entry = (gen, params, meta, batcher)
+        except BaseException as e:  # noqa: BLE001 — waiters must not hang
+            with self._lock:
+                self._loading.pop(model_name, None)
+            fut.set_exception(e)
+            raise
+        with self._lock:
             self._entries[model_name] = entry
+            self._loading.pop(model_name, None)
             if len(self._entries) > self.capacity:
                 _, (_, _, _, evicted) = self._entries.popitem(last=False)
+        fut.set_result(entry)
         if evicted is not None:
             # Evicted model's batcher: non-blocking close OUTSIDE the cache
             # lock — its daemon worker drains pending tiles in the
@@ -250,8 +282,12 @@ class ModelCache:
         with self._lock:
             old = [e[3] for e in self._entries.values() if e[3] is not None]
             self._entries.clear()
+            gcs_dir, self._gcs_dir = self._gcs_dir, None
         for b in old:
             b.close()  # wait: shutdown should leave no worker behind
+        if gcs_dir is not None:
+            import shutil
+            shutil.rmtree(gcs_dir, ignore_errors=True)
 
     def stats(self):
         with self._lock:

@@ -262,12 +262,13 @@ def check_stream_soak(steps=1000, batch=8, epoch_size=64, extent=192):
 
 
 if __name__ == "__main__":
+    # Flags compose, as the usage line advertises: each one adds its check.
     if "--stream" in sys.argv:
         check_stream_soak()
-    elif "--wf1" in sys.argv:
+    if "--wf1" in sys.argv:
         check_2d_convergence(wf=1)
-    else:
+    if not {"--stream", "--wf1"} & set(sys.argv) or "--accum" in sys.argv:
         check_2d_convergence(accum_steps=2 if "--accum" in sys.argv else 1)
-        if "--soak" in sys.argv:
-            check_3d_soak()
+    if "--soak" in sys.argv:
+        check_3d_soak()
     print("validate_tpu: ALL OK")
