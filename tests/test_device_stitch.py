@@ -222,3 +222,34 @@ def test_predict_volume_out_handling(setup, tmp_path):
     for mode in ("device", "slab"):
         with pytest.raises(ValueError, match="out="):
             predict_volume(*args, mode=mode, out=np.zeros_like(want))
+
+
+def test_choose_mode_and_auto(setup):
+    """mode="auto" resolves via choose_mode: "device" when input+output fit
+    within the headroom of accelerator memory, "stream" otherwise; the auto
+    result equals the explicit device-mode result (both paths bit-identical
+    by the tests above, so auto adds selection, not semantics)."""
+    from transfer_em_tpu.infer import choose_mode, predict_volume
+
+    assert choose_mode((160, 160, 160), (36, 36, 36),
+                       hbm_bytes=16 << 30) == "device"
+    # 12 GB input + output vs 16 GB HBM at 0.5 headroom -> stream
+    assert choose_mode((2048, 2048, 3072), (2048, 2048, 3072),
+                       hbm_bytes=16 << 30) == "stream"
+    assert choose_mode((2048, 2048, 3072), (64, 64, 64),
+                       hbm_bytes=16 << 30, headroom=2.0) == "device"
+
+    gen, params, vol = setup
+    ms = ((0.1, 0.9), (0.05, 1.1))
+    got = predict_volume(vol, gen.apply, params, (40, 40, 40), (36, 36, 36),
+                         *ms, mode="auto", batch_size=3)
+    want = predict_volume(vol, gen.apply, params, (40, 40, 40), (36, 36, 36),
+                          *ms, mode="device", batch_size=3)
+    np.testing.assert_array_equal(got, want)
+
+    # auto honors a preallocated out= by resolving to the streaming path.
+    out = np.zeros((36, 36, 36), np.uint8)
+    got2 = predict_volume(vol, gen.apply, params, (40, 40, 40),
+                          (36, 36, 36), *ms, mode="auto", out=out)
+    assert got2 is out
+    np.testing.assert_array_equal(out, want)

@@ -16,6 +16,30 @@ from .device_stitch import device_predict_tiled  # noqa: E402
 from .stream import predict_streaming, predict_volume_streaming  # noqa: E402
 
 
+def choose_mode(vol_shape, size, hbm_bytes=None, headroom=0.5):
+    """Pick "device" or "stream" for ``predict_volume(mode="auto")``.
+
+    "device" keeps the uint8 input volume, the uint8 stitched output, and
+    a tile-batch workspace resident in HBM; when that footprint exceeds
+    ``headroom`` of the accelerator's memory, the streaming path (<= 2
+    haloed blocks resident, bit-identical output) is the right call.  The
+    footprint rule is deliberately coarse — both candidates compute the
+    same function, so the cost of a borderline miss is throughput, not
+    correctness.  ``hbm_bytes`` defaults to the default device's
+    ``memory_stats()['bytes_limit']`` when the backend reports it (TPU
+    does), else a v5e-sized 16 GB."""
+    import numpy as np
+
+    if hbm_bytes is None:
+        import jax
+        try:
+            hbm_bytes = jax.devices()[0].memory_stats()["bytes_limit"]
+        except Exception:  # CPU/backends without memory_stats
+            hbm_bytes = 16 << 30
+    footprint = int(np.prod(vol_shape)) + int(np.prod(size))
+    return "device" if footprint <= headroom * hbm_bytes else "stream"
+
+
 def predict_volume(vol_zyx, gen_apply, params, start, size,
                    meanstd_x, meanstd_y, *, outdimsize=40, buffer=17,
                    mode="device", batch_size=128, as_numpy=True,
@@ -23,6 +47,9 @@ def predict_volume(vol_zyx, gen_apply, params, start, size,
     """Predict a region of an in-memory/HBM-resident uint8 zyx volume.
 
     mode:
+      "auto"   — "device" when input+output fit comfortably in the
+                 accelerator's memory, else "stream" (``choose_mode``;
+                 both are bit-identical, so the choice is pure throughput);
       "device" — device-resident gather->predict->stitch tile scan
                  (default: fastest measured, 196 Mvox/s at B=128 on v5e,
                  and bit-identical to the reference's trimmed tile grid);
@@ -46,6 +73,10 @@ def predict_volume(vol_zyx, gen_apply, params, start, size,
     np.memmap for results larger than host RAM.  The device/slab modes
     stitch in HBM and reject ``out=`` rather than silently ignoring it.
     """
+    if mode == "auto":
+        mode = choose_mode(vol_zyx.shape, size)
+        if out is not None:
+            mode = "stream"  # caller preallocated: honor out= (memmap)
     if out is not None and mode not in ("stream", "tiles"):
         raise ValueError(
             f"out= is only supported with mode='stream' or 'tiles' "
@@ -94,4 +125,4 @@ def predict_volume(vol_zyx, gen_apply, params, start, size,
 
 
 __all__ += ["slab_predict", "device_predict_tiled", "predict_volume",
-            "predict_streaming", "predict_volume_streaming"]
+            "predict_streaming", "predict_volume_streaming", "choose_mode"]
