@@ -334,3 +334,22 @@ def test_bucket_granule_one_restores_exact_batches():
         assert [b._bucket(k) for k in (1, 3, 7, 100)] == [1, 3, 7, 100]
     finally:
         b.close()
+
+
+def test_wrong_params_batcher_rejected_by_identity(small_model, vol):
+    """Geometry + meanstd cannot catch a wrong-MODEL batcher (two models can
+    share a plan, and meanstd can be None on both sides): predict_tiled
+    checks the IDENTITY of the params the batcher's step baked in against
+    the caller's params and refuses a mismatch."""
+    import jax as _jax
+
+    gen, params = small_model
+    other = gen.init(_jax.random.PRNGKey(9), jnp.zeros((1, 74, 74, 74, 1)))
+    msx, msy = (0.1, 0.9), (0.05, 1.1)
+    b = make_tile_batcher(gen.apply, params, msx, msy, 40, 17, max_batch=4)
+    try:
+        with pytest.raises(ValueError, match="DIFFERENT params"):
+            predict_tiled(_fetch(vol), gen.apply, other, (40, 40, 40),
+                          (36, 36, 36), 40, 17, msx, msy, batcher=b)
+    finally:
+        b.close()

@@ -308,3 +308,36 @@ def test_generator_source_errors_propagate(rng):
         fetch_threads=2)
     with pytest.raises(RuntimeError, match="fetch exploded"):
         list(ds)
+
+
+def test_parallel_fetch_abandonment_drops_queued_work():
+    """Closing the generator mid-iteration (what a cancelled serving request
+    does) must CANCEL the queued fetches instead of executing them — a
+    with-block shutdown(wait=True) would run every pending network read
+    before the caller's finally could release its admission slot."""
+    import threading
+    import time
+
+    from transfer_em_tpu.data.sources import _parallel_fetch
+
+    started = [0]
+    lock = threading.Lock()
+
+    def slow_fetch(corner):
+        with lock:
+            started[0] += 1
+        time.sleep(0.05)
+        return np.zeros((2, 2, 2), np.uint8)
+
+    corners = iter([(i, 0, 0) for i in range(200)])
+    gen = _parallel_fetch(corners, slow_fetch, num_threads=4)
+    next(gen)
+    t0 = time.perf_counter()
+    gen.close()  # GeneratorExit inside _parallel_fetch
+    dt = time.perf_counter() - t0
+    # In-flight fetches (<= num_threads) may finish in the background, but
+    # close() must not block on the whole queued window, and the queued
+    # (cancelled) fetches must never start.
+    assert dt < 0.5, dt
+    time.sleep(0.2)  # let any stragglers run if cancellation were broken
+    assert started[0] <= 1 + 2 * 4, started[0]  # window, not the 200

@@ -253,3 +253,38 @@ def test_choose_mode_and_auto(setup):
                           (36, 36, 36), *ms, mode="auto", out=out)
     assert got2 is out
     np.testing.assert_array_equal(out, want)
+
+    # as_numpy=False resolves auto to "device" (the only auto candidate
+    # that can return a device array) instead of raising when the
+    # footprint rule would have picked "stream".
+    got3 = predict_volume(vol, gen.apply, params, (40, 40, 40),
+                          (36, 36, 36), *ms, mode="auto", batch_size=3,
+                          as_numpy=False)
+    assert isinstance(got3, jax.Array)
+    np.testing.assert_array_equal(np.asarray(got3), want)
+
+
+def test_slab_origin_is_traced_not_static(setup):
+    """Distinct interior request starts must reuse ONE compiled slab
+    program: the origin rides as a traced int32 triple, so only geometry
+    (extents / pad config) keys the jit cache.  A static origin would
+    recompile the whole slab scan per start (5-10 s minimum through the
+    remote compile service, CLAUDE.md)."""
+    from transfer_em_tpu.infer.slab import _run, slab_predict
+
+    gen, params, vol = setup
+    ms = ((0.1, 0.9), (0.05, 1.1))
+    before = _run._cache_size()
+    outs = [slab_predict(vol, gen.apply, params, s, (40, 36, 40), *ms)
+            for s in ((30, 40, 20), (34, 44, 24), (38, 48, 28))]
+    assert _run._cache_size() == before + 1  # one program, three starts
+    assert all(o.shape == (40, 36, 40) for o in outs)
+    # ... and the traced origin computes the same voxels as a fresh call
+    # path: cross-check one start against mode="device".
+    from transfer_em_tpu.infer import predict_volume
+    wanted = predict_volume(vol, gen.apply, params, (34, 44, 24),
+                            (40, 36, 40), *ms, mode="device", batch_size=8)
+    got = outs[1]
+    # slab pooling-phase alignment can differ from the tile grid by
+    # bf16-level amounts (module docstring); exact equality holds on CPU f32
+    np.testing.assert_array_equal(got, wanted)

@@ -122,3 +122,17 @@ def test_streaming_dp_mesh_matches_single_device(setup):
                                    ms_x, ms_y, max_block_bytes=TILE ** 3,
                                    batch_size=2, mesh=mesh)
     np.testing.assert_array_equal(got, want)
+
+
+def test_stream_out_must_be_uint8_contiguous():
+    """predict_streaming's out= enforces the same contract as
+    predict_tiled's (a float memmap would silently take uint8 casts at 4x
+    the bytes)."""
+    from transfer_em_tpu.infer.stream import predict_streaming
+
+    bad = np.zeros((8, 8, 8), np.float32)
+    with pytest.raises(ValueError, match="C-contiguous uint8"):
+        predict_streaming(lambda c, s: np.zeros((s[2], s[1], s[0]),
+                                                np.uint8),
+                          lambda p, x: x, None, (0, 0, 0), (8, 8, 8),
+                          40, 17, (0.0, 1.0), (0.0, 1.0), out=bad)

@@ -103,3 +103,34 @@ def test_tensorstore_backend_matches_numpy_backend(ng_volume):
         np.testing.assert_array_equal(tsv.read(start, size),
                                       npv.read(start, size),
                                       err_msg=f"{start} {size}")
+
+
+def test_predict_ng_cube_direct_tensorstore_edge_request(ng_volume):
+    """predict_ng_cube's DIRECT tensorstore transport (cloudrun=None) must
+    clamp halo reads to the volume domain and zero-fill the rest: every
+    edge-touching request plans fetch corners at start-buffer (negative /
+    past the far face), where an unclamped slice raises OutOfRange.  The
+    result must equal predict_tiled over a zero-filling host fetcher on the
+    same data."""
+    import jax
+    import jax.numpy as jnp
+
+    from transfer_em_tpu.infer.tiling import predict_ng_cube, predict_tiled
+    from transfer_em_tpu.models import UNetGenerator
+    from transfer_em_tpu.native import gather_box
+
+    location, data = ng_volume
+    gen = UNetGenerator(wf=4)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 74, 74, 74, 1)))
+    ms = ((0.1, 0.9), (0.05, 1.1))
+    vol_zyx = np.ascontiguousarray(data.transpose(2, 1, 0))
+
+    def fetch_tile(corner, insize):
+        return gather_box(vol_zyx, corner, (insize,) * 3)
+
+    got = predict_ng_cube(location, (0, 0, 0), (16, 16, 16),
+                          (gen.apply, params), *ms, None,
+                          outdimsize=40, buffer=17)
+    want = predict_tiled(fetch_tile, gen.apply, params, (0, 0, 0),
+                         (16, 16, 16), 40, 17, *ms)
+    np.testing.assert_array_equal(got, want)

@@ -166,8 +166,9 @@ def _parallel_fetch(corners: Iterator[Tuple[int, int, int]],
         for c in corners:
             yield fetch(c)
         return
-    with cf.ThreadPoolExecutor(max_workers=num_threads) as ex:
-        pending: List[cf.Future] = []
+    ex = cf.ThreadPoolExecutor(max_workers=num_threads)
+    pending: List[cf.Future] = []
+    try:
         try:
             for _ in range(num_threads * 2):
                 pending.append(ex.submit(fetch, next(corners)))
@@ -180,6 +181,18 @@ def _parallel_fetch(corners: Iterator[Tuple[int, int, int]],
             except StopIteration:
                 pass
             yield fut.result()
+        ex.shutdown(wait=True)
+    except BaseException:
+        # Abandoned mid-iteration (GeneratorExit on a cancelled request, or
+        # a fetch error): DROP the up-to-2*threads queued fetches instead of
+        # executing them — a plain `with` block's shutdown(wait=True) would
+        # run every pending network read before the caller's finally could
+        # release its admission slot (measured ~1 s per 8 pending 0.5 s
+        # fetches; VERDICT-r4 review finding).
+        for f in pending:
+            f.cancel()
+        ex.shutdown(wait=False, cancel_futures=True)
+        raise
 
 
 def volume3d_dvid(dvid_server: str, uuid: str, instance: str,

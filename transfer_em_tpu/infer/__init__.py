@@ -49,7 +49,10 @@ def predict_volume(vol_zyx, gen_apply, params, start, size,
     mode:
       "auto"   — "device" when input+output fit comfortably in the
                  accelerator's memory, else "stream" (``choose_mode``;
-                 both are bit-identical, so the choice is pure throughput);
+                 both are bit-identical, so the choice is pure throughput).
+                 ``as_numpy=False`` resolves to "device" (the only auto
+                 candidate that can return a device array); ``out=``
+                 resolves to "stream" (honors a preallocated memmap);
       "device" — device-resident gather->predict->stitch tile scan
                  (default: fastest measured, 196 Mvox/s at B=128 on v5e,
                  and bit-identical to the reference's trimmed tile grid);
@@ -74,7 +77,10 @@ def predict_volume(vol_zyx, gen_apply, params, start, size,
     stitch in HBM and reject ``out=`` rather than silently ignoring it.
     """
     if mode == "auto":
-        mode = choose_mode(vol_zyx.shape, size)
+        if not as_numpy:
+            mode = "device"  # only device/slab can return a device array
+        else:
+            mode = choose_mode(vol_zyx.shape, size)
         if out is not None:
             mode = "stream"  # caller preallocated: honor out= (memmap)
     if out is not None and mode not in ("stream", "tiles"):

@@ -76,7 +76,7 @@ class TileBatcher:
                  multiple: int = 1,
                  outdimsize: Optional[int] = None,
                  buffer: Optional[int] = None,
-                 meanstd_x=None, meanstd_y=None):
+                 meanstd_x=None, meanstd_y=None, params=None):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1 (got {max_batch})")
         self._step = step
@@ -94,6 +94,12 @@ class TileBatcher:
                           if meanstd_x is not None else None)
         self.meanstd_y = (tuple(float(v) for v in meanstd_y)
                           if meanstd_y is not None else None)
+        # The params the step bakes in, when known: geometry + meanstd alone
+        # cannot catch a wrong-MODEL batcher (two meanstd-less models with
+        # the same plan) — predict_tiled checks object identity against the
+        # caller's params.  Same object the step closure already holds, so
+        # this retains nothing extra.
+        self.params = params
         self.max_batch = int(max_batch)
         self._linger = float(linger_ms) / 1000.0
         self._min_bucket = max(1, int(min_bucket))
@@ -289,4 +295,5 @@ def make_tile_batcher(gen_apply: Callable, params, meanstd_x, meanstd_y,
                        min_bucket=min_bucket, bucket_granule=bucket_granule,
                        multiple=multiple,
                        outdimsize=eff_out, buffer=eff_buf,
-                       meanstd_x=meanstd_x, meanstd_y=meanstd_y)
+                       meanstd_x=meanstd_x, meanstd_y=meanstd_y,
+                       params=params)

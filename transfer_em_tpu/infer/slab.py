@@ -90,9 +90,10 @@ def slab_predict(vol_zyx: np.ndarray | jax.Array,
     x_lo += pad_cfg[2][0]
 
     zs = jnp.asarray([z_lo + i * z_out for i in range(nz)], jnp.int32)
+    origin = jnp.asarray([z_lo, y_lo, x_lo], jnp.int32)
 
-    out = _run(volp, params, zs, gen_apply=gen_apply, z_lo=z_lo, y_lo=y_lo,
-               x_lo=x_lo, z_in=z_in, y_in=y_in, x_in=x_in, z_out=z_out,
+    out = _run(volp, params, zs, origin, gen_apply=gen_apply,
+               z_in=z_in, y_in=y_in, x_in=x_in, z_out=z_out,
                y_out=y_out, x_out=x_out, nz=nz, sz=sz, sy=sy, sx=sx,
                meanstd_x=(tuple(float(v) for v in meanstd_x)
                           if meanstd_x is not None else None),
@@ -103,14 +104,20 @@ def slab_predict(vol_zyx: np.ndarray | jax.Array,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gen_apply", "z_lo", "y_lo", "x_lo", "z_in", "y_in",
+    static_argnames=("gen_apply", "z_in", "y_in",
                      "x_in", "z_out", "y_out", "x_out", "nz", "sz", "sy",
                      "sx", "meanstd_x", "meanstd_y"))
-def _run(volp, params, zs, *, gen_apply, z_lo, y_lo, x_lo, z_in, y_in, x_in,
+def _run(volp, params, zs, origin, *, gen_apply, z_in, y_in, x_in,
          z_out, y_out, x_out, nz, sz, sy, sx, meanstd_x, meanstd_y):
     # Module-level jit: repeated slab_predict calls with the same geometry
     # and the same gen_apply object hit the trace cache (an inner closure
     # would re-trace and pay remote-compile-cache lookups every call).
+    # The request ORIGIN rides as a traced int32 triple — it only feeds
+    # dynamic_slice starts and index math, and making it static would
+    # recompile the whole slab scan for every distinct start in a
+    # predict loop (5-10 s minimum per remote compile, CLAUDE.md).
+    z_lo, y_lo, x_lo = origin[0], origin[1], origin[2]
+
     def step(out, zstart):
         slab = jax.lax.dynamic_slice(
             volp, (zstart, y_lo, x_lo), (z_in, y_in, x_in))

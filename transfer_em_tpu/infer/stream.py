@@ -101,22 +101,9 @@ def plan_chunks(start: Sequence[int], size: Sequence[int], outdimsize: int,
                      buffer=b, chunk=chunk, grid=grid, block=block)
 
 
-def gather_box(vol_zyx: np.ndarray, corner_xyz: Sequence[int],
-               size_xyz: Sequence[int]) -> np.ndarray:
-    """Copy an xyz box out of a host zyx volume, zero-filled out of bounds
-    (the box analogue of native.gather_blocks' semantics)."""
-    Z, Y, X = vol_zyx.shape
-    cx, cy, cz = (int(v) for v in corner_xyz)
-    sx, sy, sz = (int(v) for v in size_xyz)
-    out = np.zeros((sz, sy, sx), np.uint8)
-    z0, z1 = max(0, -cz), min(sz, Z - cz)
-    y0, y1 = max(0, -cy), min(sy, Y - cy)
-    x0, x1 = max(0, -cx), min(sx, X - cx)
-    if z0 < z1 and y0 < y1 and x0 < x1:
-        out[z0:z1, y0:y1, x0:x1] = vol_zyx[cz + z0:cz + z1,
-                                           cy + y0:cy + y1,
-                                           cx + x0:cx + x1]
-    return out
+# One clamp-and-copy implementation repo-wide (also used by the jax-free
+# prefork serve.backends workers); re-exported here for its historic home.
+from ..native import gather_box  # noqa: E402,F401
 
 
 def predict_streaming(
@@ -161,6 +148,10 @@ def predict_streaming(
         out = np.zeros((sz, sy, sx), np.uint8)
     elif out.shape != (sz, sy, sx):
         raise ValueError(f"out shape {out.shape} != request {(sz, sy, sx)}")
+    elif out.dtype != np.uint8 or not out.flags.c_contiguous:
+        # Same contract as predict_tiled's out=: a float memmap would
+        # silently take uint8 casts at 4x the intended bytes.
+        raise ValueError("out must be C-contiguous uint8")
 
     def block_corner(k: int) -> Tuple[int, int, int]:
         i, j, l = plan.chunk_xyz(k)

@@ -192,8 +192,9 @@ def predict_tiled(
         batch already dispatched is not preempted (its result is
         discarded), but the caller unblocks without waiting for it.
     Returns:
-      zyx uint8 array of ``size`` (``out`` if given), and the input volume
-      if fetch_input.
+      the prediction as a zyx uint8 array of ``size`` (``out`` if given);
+      with ``fetch_input=True``, the tuple ``(input, prediction)`` — input
+      FIRST (both zyx uint8).
     """
     from ..data.sources import _parallel_fetch
 
@@ -205,6 +206,17 @@ def predict_tiled(
         batch_size = -(-batch_size // ndev) * ndev
 
     plan = plan_tiles(start, size, outdimsize, buffer)
+    # Small requests must not pay full-batch padding: an 8-tile 64-cube
+    # request at the default batch_size=128 would ship 16x its tiles in
+    # zero pad slots (H2D bytes AND device FLOPs).  Clamp to the tile
+    # count rounded up to a granule-8 ladder (bounded program shapes, same
+    # rule as TileBatcher), re-rounded to the mesh data axis when sharded.
+    n_tiles = len(plan.corners)
+    ladder = n_tiles if n_tiles <= 8 else -(-n_tiles // 8) * 8
+    clamped = min(batch_size, ladder)
+    if mesh is not None:
+        clamped = -(-clamped // ndev) * ndev
+    batch_size = max(1, clamped)
     if out is not None:
         want = (size[2], size[1], size[0])  # zyx
         if tuple(out.shape) != want:
@@ -236,6 +248,18 @@ def predict_tiled(
                     f"passes {asked_t} — it would be served with the "
                     "batcher's normalization; build a batcher for this "
                     "model/meanstd or drop the batcher")
+        # meanstd can be None on BOTH sides (normalization-disabled models):
+        # identity of the baked params is the check geometry+meanstd cannot
+        # make.  make_tile_batcher records the exact object its step closed
+        # over; a different object here means a different model's batcher.
+        built_params = getattr(batcher, "params", None)
+        if (built_params is not None and params is not None
+                and built_params is not params):
+            raise ValueError(
+                "batcher was built over a DIFFERENT params object than this "
+                "request's — its baked-in step would serve the other "
+                "model's predictions; build a batcher for these params or "
+                "drop the batcher")
         return _predict_tiled_batched(batcher, fetch_tile, plan,
                                       fetch_input, fetch_threads, out=out,
                                       should_cancel=should_cancel)
@@ -405,15 +429,36 @@ def predict_ng_cube(location: str, start, size, model, meanstd_x, meanstd_y,
 
     if cloudrun is None:
         ds = open_tensorstore(location)
+        dom_lo = np.asarray(ds.domain.inclusive_min[:3], np.int64)
+        dom_hi = np.asarray(ds.domain.exclusive_max[:3], np.int64)
 
         def fetch_tile(corner, insize):
-            x, y, z = corner
-            data = ds[x:x + insize, y:y + insize, z:z + insize].read(
-                order="F").result()
+            # Clamp to the volume domain and zero-fill the rest: every
+            # edge-touching request plans halo corners at start-buffer
+            # (negative / past the far face), and tensorstore raises
+            # OutOfRange on any out-of-domain slice.  Same uniform-transport
+            # rule as the training fetcher (data/sources.py volume3d_ng) and
+            # serve/backends.TensorstoreVolume.
+            want_lo = np.asarray(corner, np.int64)
+            want_hi = want_lo + insize
+            lo = np.maximum(want_lo, dom_lo)
+            hi = np.minimum(want_hi, dom_hi)
+            if np.any(lo >= hi):
+                return np.zeros((insize,) * 3, np.uint8)
+            data = np.asarray(
+                ds[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]].read(
+                    order="F").result(), np.uint8)
+            if not (np.array_equal(lo, want_lo)
+                    and np.array_equal(hi, want_hi)):
+                full = np.zeros((insize,) * 3, np.uint8)
+                o = lo - want_lo
+                full[o[0]:o[0] + data.shape[0], o[1]:o[1] + data.shape[1],
+                     o[2]:o[2] + data.shape[2]] = data
+                data = full
             # tensorstore yields xyz-indexed data; tiles are zyx throughout
             # (the reference mixes the two — utils.py:121 scatters xyz tiles
             # into a zyx buffer; we keep one consistent convention).
-            return np.asarray(data, np.uint8).transpose(2, 1, 0)
+            return data.transpose(2, 1, 0)
     else:
         fetcher = CloudRunFetcher(cloudrun, location)
 

@@ -130,5 +130,25 @@ def gather_blocks(vol_zyx: np.ndarray,
     return tiles
 
 
+def gather_box(vol_zyx: np.ndarray, corner_xyz: Sequence[int],
+               size_xyz: Sequence[int]) -> np.ndarray:
+    """Copy an xyz box out of a host zyx volume, zero-filled out of bounds
+    (the box analogue of gather_blocks' semantics).  Lives here — the only
+    jax-free host module — so both infer.stream and the prefork (jax-free)
+    serve.backends workers share ONE clamp-and-copy implementation."""
+    Z, Y, X = vol_zyx.shape
+    cx, cy, cz = (int(v) for v in corner_xyz)
+    sx, sy, sz = (int(v) for v in size_xyz)
+    out = np.zeros((sz, sy, sx), np.uint8)
+    z0, z1 = max(0, -cz), min(sz, Z - cz)
+    y0, y1 = max(0, -cy), min(sy, Y - cy)
+    x0, x1 = max(0, -cx), min(sx, X - cx)
+    if z0 < z1 and y0 < y1 and x0 < x1:
+        out[z0:z1, y0:y1, x0:x1] = vol_zyx[cz + z0:cz + z1,
+                                           cy + y0:cy + y1,
+                                           cx + x0:cx + x1]
+    return out
+
+
 def native_available() -> bool:
     return _get_lib() is not None

@@ -30,17 +30,11 @@ class NumpyVolume(VolumeBackend):
         self.vol = np.ascontiguousarray(vol_or_path, np.uint8)
 
     def read(self, start, size) -> np.ndarray:
-        x, y, z = start
-        sx, sy, sz = size
-        out = np.zeros((sz, sy, sx), np.uint8)
-        Z, Y, X = self.vol.shape
-        z0, z1 = max(0, z), min(Z, z + sz)
-        y0, y1 = max(0, y), min(Y, y + sy)
-        x0, x1 = max(0, x), min(X, x + sx)
-        if z0 < z1 and y0 < y1 and x0 < x1:
-            out[z0 - z:z1 - z, y0 - y:y1 - y, x0 - x:x1 - x] = \
-                self.vol[z0:z1, y0:y1, x0:x1]
-        return out
+        # One clamp-and-copy implementation for the whole repo (native is
+        # jax-free, so prefork workers stay jax-free too): a future
+        # edge-semantics fix must not have to land twice.
+        from ..native import gather_box
+        return gather_box(self.vol, start, size)
 
 
 class TensorstoreVolume(VolumeBackend):
