@@ -339,8 +339,9 @@ def test_bucket_granule_one_restores_exact_batches():
 def test_wrong_params_batcher_rejected_by_identity(small_model, vol):
     """Geometry + meanstd cannot catch a wrong-MODEL batcher (two models can
     share a plan, and meanstd can be None on both sides): predict_tiled
-    checks the IDENTITY of the params the batcher's step baked in against
-    the caller's params and refuses a mismatch."""
+    fingerprints the params the batcher's step baked in against the
+    caller's params and refuses a mismatch (same structure, different
+    weights => sampled leaf values differ)."""
     import jax as _jax
 
     gen, params = small_model
@@ -351,5 +352,25 @@ def test_wrong_params_batcher_rejected_by_identity(small_model, vol):
         with pytest.raises(ValueError, match="DIFFERENT params"):
             predict_tiled(_fetch(vol), gen.apply, other, (40, 40, 40),
                           (36, 36, 36), 40, 17, msx, msy, batcher=b)
+    finally:
+        b.close()
+
+
+def test_equivalent_params_copy_accepted_by_batcher(small_model, vol):
+    """A structurally-identical COPY of the batcher's params (checkpoint
+    reload / device_put / tree_map — ADVICE round 4) must NOT be rejected:
+    raw object identity would false-positive on the exact params the step
+    bakes in, just rehydrated by a different code path."""
+    gen, params = small_model
+    msx, msy = (0.1, 0.9), (0.05, 1.1)
+    copy = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), params)
+    assert copy is not params
+    b = make_tile_batcher(gen.apply, params, msx, msy, 40, 17, max_batch=4)
+    try:
+        got = predict_tiled(_fetch(vol), gen.apply, copy, (40, 40, 40),
+                            (36, 36, 36), 40, 17, msx, msy, batcher=b)
+        want = predict_tiled(_fetch(vol), gen.apply, params, (40, 40, 40),
+                             (36, 36, 36), 40, 17, msx, msy)
+        np.testing.assert_array_equal(got, want)
     finally:
         b.close()

@@ -263,6 +263,14 @@ def test_choose_mode_and_auto(setup):
     assert isinstance(got3, jax.Array)
     np.testing.assert_array_equal(np.asarray(got3), want)
 
+    # as_numpy=False + out= under auto is contradictory (device-resident
+    # result vs host-stitched buffer): explicit ValueError, neither wins
+    # silently (ADVICE round 4).
+    with pytest.raises(ValueError, match="contradictory"):
+        predict_volume(vol, gen.apply, params, (40, 40, 40), (36, 36, 36),
+                       *ms, mode="auto", as_numpy=False,
+                       out=np.zeros((36, 36, 36), np.uint8))
+
 
 def test_slab_origin_is_traced_not_static(setup):
     """Distinct interior request starts must reuse ONE compiled slab

@@ -297,3 +297,96 @@ def test_model_cache_miss_does_not_convoy_hits(fake_gcs, exported3d):
     assert downloads[0] == 1  # same-name misses coalesced onto one loader
     assert cache.get("em2em:v2")[2].wf == meta.wf
     cache.close()
+
+
+def test_model_cache_eviction_reclaims_staging_dir(fake_gcs, exported3d):
+    """Under eviction/reload churn each evicted gs:// model's staging dir is
+    deleted AT EVICTION, not hoarded until close() (ADVICE round 4: a
+    long-lived service alternating models would otherwise grow disk use by
+    one stale dir per re-download)."""
+    from transfer_em_tpu.serve.model_service import ModelCache
+
+    d, gen, params, meta = exported3d
+    store = fake_gcs.setdefault("model-bucket", {})
+    for fname in os.listdir(d):
+        with open(os.path.join(d, fname), "rb") as f:
+            data = f.read()
+        for ver in ("v1", "v2"):
+            FakeBlob(store, f"models/em2em/{ver}/{fname}").upload_from_string(
+                data)
+
+    cache = ModelCache("gs://model-bucket/models", capacity=1)
+    try:
+        cache.get("em2em:v1")
+        root = cache._gcs_dir
+        assert root is not None and len(os.listdir(root)) == 1
+        for _ in range(3):  # churn: each get evicts the other model
+            cache.get("em2em:v2")
+            assert len(os.listdir(root)) == 1  # v1's staging dir reclaimed
+            cache.get("em2em:v1")
+            assert len(os.listdir(root)) == 1
+    finally:
+        cache.close()
+    assert not os.path.exists(root)  # close() reclaims the staging root
+
+
+def test_model_cache_close_races_inflight_load(exported3d, tmp_path):
+    """A load that COMPLETES after close() must not re-insert its entry
+    (ADVICE round 4: that left a live batcher worker thread close()'s
+    sweep had already missed).  Local root so the gated load still finds
+    its files after close(); a gs:// load racing close() instead fails at
+    read time (staging root reclaimed) — either way no entry survives."""
+    import shutil
+    import threading
+
+    from transfer_em_tpu.serve import model_service as ms
+
+    d, gen, params, meta = exported3d
+    root = tmp_path / "models"
+    (root / "em2em").mkdir(parents=True)
+    shutil.copytree(d, root / "em2em" / "v1")
+
+    built = []
+
+    def factory(g, p, m):
+        from transfer_em_tpu.infer.batcher import make_tile_batcher
+        b = make_tile_batcher(g.apply, p, m.meanstd_x, m.meanstd_y,
+                              m.outdimsize, m.buffer, max_batch=4)
+        built.append(b)
+        return b
+
+    cache = ms.ModelCache(str(root), batcher_factory=factory)
+    gate = threading.Event()
+    entered = threading.Event()
+    orig = ms.load_generator
+
+    def slow_load(path):
+        entered.set()
+        gate.wait(30)  # hold the load until close() has run
+        return orig(path)
+
+    ms.load_generator = slow_load
+    errs = []
+
+    def loader():
+        try:
+            cache.get("em2em:v1")
+        except RuntimeError as e:
+            errs.append(e)
+
+    t = threading.Thread(target=loader)
+    try:
+        t.start()
+        assert entered.wait(10)  # loader is inside the gated load_generator
+        cache.close()
+        gate.set()
+        t.join(timeout=30)
+    finally:
+        ms.load_generator = orig
+        gate.set()
+    assert not t.is_alive()
+    assert len(errs) == 1 and "closed" in str(errs[0])
+    assert cache._entries == {} and cache._staging == {}
+    assert built and built[0]._closed  # the fresh batcher was closed
+    with pytest.raises(RuntimeError, match="closed"):
+        cache.get("em2em:v1")

@@ -53,6 +53,7 @@ def predict_volume(vol_zyx, gen_apply, params, start, size,
                  ``as_numpy=False`` resolves to "device" (the only auto
                  candidate that can return a device array); ``out=``
                  resolves to "stream" (honors a preallocated memmap);
+                 passing BOTH is contradictory and raises ValueError;
       "device" — device-resident gather->predict->stitch tile scan
                  (default: fastest measured, 196 Mvox/s at B=128 on v5e,
                  and bit-identical to the reference's trimmed tile grid);
@@ -77,12 +78,20 @@ def predict_volume(vol_zyx, gen_apply, params, start, size,
     stitch in HBM and reject ``out=`` rather than silently ignoring it.
     """
     if mode == "auto":
+        if not as_numpy and out is not None:
+            # Contradictory asks: as_numpy=False means "give me a device
+            # array", out= means "stitch into this host buffer".  Refuse
+            # explicitly rather than letting one silently win (ADVICE r4).
+            raise ValueError(
+                "mode='auto' with as_numpy=False AND out= is contradictory: "
+                "as_numpy=False requests a device-resident result, out= a "
+                "host-stitched one — drop one of the two")
         if not as_numpy:
             mode = "device"  # only device/slab can return a device array
+        elif out is not None:
+            mode = "stream"  # caller preallocated: honor out= (memmap)
         else:
             mode = choose_mode(vol_zyx.shape, size)
-        if out is not None:
-            mode = "stream"  # caller preallocated: honor out= (memmap)
     if out is not None and mode not in ("stream", "tiles"):
         raise ValueError(
             f"out= is only supported with mode='stream' or 'tiles' "

@@ -147,6 +147,32 @@ def scatter_tiles(out_zyx: np.ndarray, tiles_u8: np.ndarray,
     scatter_blocks(out_zyx, tiles_u8, indices, outdimsize)
 
 
+def _params_equivalent(a, b) -> bool:
+    """Cheap structural fingerprint for two params pytrees of the SAME
+    model: tree structure, every leaf's shape/dtype, and the exact values of
+    a small deterministic sample of leaf prefixes must all match.  Catches a
+    wrong-model batcher (different architecture => structure/shape mismatch;
+    same architecture, different weights => sampled values differ) without a
+    full-tree fetch — each sample is an 8-element device slice, so the cost
+    through the remote-device tunnel stays a few small fetches."""
+    la, ta = jax.tree.flatten(a)
+    lb, tb = jax.tree.flatten(b)
+    if ta != tb or len(la) != len(lb):
+        return False
+    for x, y in zip(la, lb):
+        if (tuple(jnp.shape(x)) != tuple(jnp.shape(y))
+                or jnp.asarray(x).dtype != jnp.asarray(y).dtype):
+            return False
+    if not la:
+        return True
+    for i in {0, len(la) // 2, len(la) - 1}:
+        sx = np.asarray(jnp.ravel(la[i])[:8])
+        sy = np.asarray(jnp.ravel(lb[i])[:8])
+        if not np.array_equal(sx, sy):
+            return False
+    return True
+
+
 def predict_tiled(
         fetch_tile: Callable[[Tuple[int, int, int], int], np.ndarray],
         gen_apply: Callable, params,
@@ -249,15 +275,20 @@ def predict_tiled(
                     "batcher's normalization; build a batcher for this "
                     "model/meanstd or drop the batcher")
         # meanstd can be None on BOTH sides (normalization-disabled models):
-        # identity of the baked params is the check geometry+meanstd cannot
-        # make.  make_tile_batcher records the exact object its step closed
-        # over; a different object here means a different model's batcher.
+        # the baked params are the check geometry+meanstd cannot make.
+        # make_tile_batcher records the exact object its step closed over;
+        # same object => fast-path OK.  A DIFFERENT object is not
+        # necessarily a different model (a checkpoint reloaded/device_put/
+        # tree-mapped copy is structurally identical — ADVICE round 4), so
+        # fall back to a cheap structural fingerprint before rejecting.
         built_params = getattr(batcher, "params", None)
         if (built_params is not None and params is not None
-                and built_params is not params):
+                and built_params is not params
+                and not _params_equivalent(built_params, params)):
             raise ValueError(
-                "batcher was built over a DIFFERENT params object than this "
-                "request's — its baked-in step would serve the other "
+                "batcher was built over DIFFERENT params than this "
+                "request's (tree structure, leaf shapes/dtypes, or sampled "
+                "values differ) — its baked-in step would serve the other "
                 "model's predictions; build a batcher for these params or "
                 "drop the batcher")
         return _predict_tiled_batched(batcher, fetch_tile, plan,

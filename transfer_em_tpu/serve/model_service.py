@@ -183,6 +183,8 @@ class ModelCache:
         self._entries = OrderedDict()  # name -> (gen, params, meta, batcher)
         self._loading = {}  # name -> Future, misses in flight (lock held)
         self._gcs_dir = None  # local staging dir for gs:// model downloads
+        self._staging = {}  # name -> this entry's staging dir (gs:// roots)
+        self._closed = False
 
     def _download_gcs_model(self, parts) -> str:
         """Stage an exported model dir from GCS onto local disk.
@@ -199,14 +201,17 @@ class ModelCache:
         rest = self.model_root[len("gs://"):].split("/")
         bucket_name, prefix_parts = rest[0], [p for p in rest[1:] if p]
         prefix = "/".join(prefix_parts + list(parts))
-        if self._gcs_dir is None:
-            self._gcs_dir = tempfile.mkdtemp(prefix="tem_models_")
+        with self._lock:
+            if self._closed:  # close() already reclaimed the staging root
+                raise RuntimeError("ModelCache is closed")
+            if self._gcs_dir is None:
+                self._gcs_dir = tempfile.mkdtemp(prefix="tem_models_")
+            root = self._gcs_dir
         # FRESH staging dir per fetch: a republished version whose artifact
         # set changed (e.g. SavedModel -> msgpack) must never mix with the
-        # stale files of an earlier fetch of the same name/version.  The
-        # root is removed in close().
-        local = tempfile.mkdtemp(prefix="_".join(parts) + "_",
-                                 dir=self._gcs_dir)
+        # stale files of an earlier fetch of the same name/version.  Each
+        # dir is reclaimed at eviction (or on load failure / close()).
+        local = tempfile.mkdtemp(prefix="_".join(parts) + "_", dir=root)
         client = storage.Client()
         bucket = client.bucket(bucket_name)
         n = 0
@@ -233,6 +238,8 @@ class ModelCache:
         import concurrent.futures as cf
 
         with self._lock:
+            if self._closed:
+                raise RuntimeError("ModelCache is closed")
             if model_name in self._entries:
                 self._entries.move_to_end(model_name)
                 return self._entries[model_name]
@@ -246,12 +253,12 @@ class ModelCache:
         if not loader:
             return fut.result()  # load result or the loader's exception
 
-        evicted = None
+        evicted = evicted_dir = staged = None
         try:
             # "name:version" -> <root>/name/version/ (reference naming)
             parts = model_name.split(":")
             if self.model_root.startswith("gs://"):
-                path = self._download_gcs_model(parts)
+                path = staged = self._download_gcs_model(parts)
             else:
                 path = os.path.join(self.model_root, *parts)
             gen, params, meta = load_generator(path)
@@ -261,13 +268,37 @@ class ModelCache:
         except BaseException as e:  # noqa: BLE001 — waiters must not hang
             with self._lock:
                 self._loading.pop(model_name, None)
+            if staged is not None:
+                import shutil
+                shutil.rmtree(staged, ignore_errors=True)
             fut.set_exception(e)
             raise
         with self._lock:
-            self._entries[model_name] = entry
             self._loading.pop(model_name, None)
-            if len(self._entries) > self.capacity:
-                _, (_, _, _, evicted) = self._entries.popitem(last=False)
+            if self._closed:
+                # close() raced this load: it already cleared the cache, so
+                # caching the fresh entry would leave a live batcher worker
+                # and a staging dir nobody will reclaim (ADVICE round 4).
+                closed = True
+            else:
+                closed = False
+                self._entries[model_name] = entry
+                if staged is not None:
+                    self._staging[model_name] = staged
+                if len(self._entries) > self.capacity:
+                    ev_name, (_, _, _, evicted) = self._entries.popitem(
+                        last=False)
+                    evicted_dir = self._staging.pop(ev_name, None)
+        if closed:
+            if batcher is not None:
+                batcher.close(wait=False)
+            if staged is not None:
+                import shutil
+                shutil.rmtree(staged, ignore_errors=True)
+            err = RuntimeError("ModelCache closed while loading "
+                               f"{model_name!r}")
+            fut.set_exception(err)
+            raise err
         fut.set_result(entry)
         if evicted is not None:
             # Evicted model's batcher: non-blocking close OUTSIDE the cache
@@ -276,12 +307,21 @@ class ModelCache:
             # later submit() raises degrades to batcher.run_direct (see
             # infer/tiling.py) instead of failing or stalling this request.
             evicted.close(wait=False)
+        if evicted_dir is not None:
+            # Reclaim the evicted model's staging dir NOW: under
+            # eviction/reload churn, waiting for close() would grow disk
+            # use by one stale dir per re-download (ADVICE round 4).  The
+            # params were fully materialized at load; the files are dead.
+            import shutil
+            shutil.rmtree(evicted_dir, ignore_errors=True)
         return entry
 
     def close(self):
         with self._lock:
+            self._closed = True  # in-flight loads see this and self-clean
             old = [e[3] for e in self._entries.values() if e[3] is not None]
             self._entries.clear()
+            self._staging.clear()  # dirs live under gcs_dir, removed below
             gcs_dir, self._gcs_dir = self._gcs_dir, None
         for b in old:
             b.close()  # wait: shutdown should leave no worker behind
