@@ -119,7 +119,11 @@ def main():
     from transfer_em_tpu.infer import predict_volume
     from transfer_em_tpu.models import UNetGenerator
 
-    gen = UNetGenerator(wf=8, compute_dtype=jnp.bfloat16)
+    # --wf1: the full-width regime (64-512 channels, lanes full — VERDICT
+    # r4 weak 3).  Same request, same modes; only the model width changes,
+    # so the number is directly comparable to the wf=8 headline.
+    wf = 1 if "--wf1" in sys.argv else 8
+    gen = UNetGenerator(wf=wf, compute_dtype=jnp.bfloat16)
     params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 74, 74, 74, 1)))
     apply_fn = gen.apply
 
@@ -138,7 +142,15 @@ def main():
     checksum = jax.jit(lambda a: jnp.sum(a, dtype=jnp.int32))
     nvox = int(np.prod(size))
     best = None
-    for mode, kw in (("slab", {}), ("device", {"batch_size": 128})):
+    if wf == 1:
+        # Full-width tiles are ~50 MB of activations each (stem 72^3 x 64
+        # bf16): probe batch UPWARD in small steps — a straight B=128 would
+        # OOM and wedge the tunnel (CLAUDE.md).  Device mode only: the slab
+        # forward at 360^2 XY x 64-512 channels exceeds HBM headroom.
+        modes = [("device", {"batch_size": b}) for b in (4, 8, 16, 32)]
+    else:
+        modes = [("slab", {}), ("device", {"batch_size": 128})]
+    for mode, kw in modes:
         t0 = time.perf_counter()
         out = predict_volume(vol, apply_fn, params, start, size, ms, ms,
                              mode=mode, as_numpy=False, **kw)
@@ -151,25 +163,32 @@ def main():
             np.asarray(checksum(out))
         dt = (time.perf_counter() - t0) / REPS
         mvox = nvox / dt / 1e6
-        print(f"# {mode}: warm(compile) {warm:.1f}s, steady {dt:.2f}s "
+        label = (f"{mode} B={kw['batch_size']}" if "batch_size" in kw
+                 else mode)
+        print(f"# {label}: warm(compile) {warm:.1f}s, steady {dt:.2f}s "
               f"-> {mvox:.1f} Mvox/s", file=sys.stderr)
+        flat = best is not None and mvox < best[1] * 1.02
         if best is None or mvox > best[1]:
-            best = (mode, mvox)
+            best = (label, mvox)
+        if wf == 1 and flat:
+            # Ladder flattened: stop before climbing into the OOM wall.
+            break
 
     t0 = time.perf_counter()
     _ = np.asarray(out)
     print(f"# download 46 MB: {time.perf_counter() - t0:.1f}s (tunnel)",
           file=sys.stderr)
 
-    if os.environ.get("BENCH_STREAM", "1") != "0":
+    if wf == 8 and os.environ.get("BENCH_STREAM", "1") != "0":
         bench_stream_e2e(apply_fn, params, ms)
 
     print(json.dumps({
-        "metric": "tiled_inference_mvox_per_sec",
+        "metric": ("tiled_inference_mvox_per_sec" if wf == 8
+                   else "tiled_inference_mvox_per_sec_wf1"),
         "value": round(best[1], 2),
         "unit": "Mvox/s",
         "vs_baseline": None,
-        "note": f"mode={best[0]}, HBM-resident 360^3 request",
+        "note": f"mode={best[0]}, wf={wf}, HBM-resident 360^3 request",
     }))
 
 

@@ -465,54 +465,119 @@ def bench_soak_data(total_reqs=10_000, n_clients=8, workers=4):
     return ok
 
 
-def bench_soak_model(total_reqs=1000, n_clients=8):
+def bench_soak_model(total_reqs=1000, n_clients=8, n_models=1):
     """Model-service soak: sustained concurrent 64^3 chunk requests through
     the full predict path (batching ON), latency-drift + fd bars on our own
     process.  RSS is recorded against the H2D budget rather than barred:
     the axon tunnel client leaks every host->device byte into host RSS
     (CLAUDE.md; PERF.md 'Streaming-training soak'), so on this rig RSS grows
-    by ~the soak's H2D traffic by construction."""
+    by ~the soak's H2D traffic by construction.
+
+    ``n_models > 1`` (VERDICT r4 weak 4): requests alternate between
+    ``n_models`` DIFFERENT exported models against ``cache_size=1``, so
+    every model flip drives the ModelCache eviction path — per-name miss
+    coalescing, TileBatcher close(wait=False)/recreate, staging reclaim —
+    under sustained concurrent load.  Each model has distinct weights and a
+    distinct meanstd, and every ``VERIFY_EVERY``-th response is compared
+    byte-for-byte against the right model's direct prediction, so a
+    cross-model mixup (a stale batcher serving the evicted model) fails
+    loudly, not silently."""
+    import gzip as _gzip
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from transfer_em_tpu.config import ExportMeta
     from transfer_em_tpu.infer.export import export_generator
+    from transfer_em_tpu.infer.tiling import predict_tiled
     from transfer_em_tpu.models import UNetGenerator
     from transfer_em_tpu.serve import (ModelService, NumpyVolume,
                                        predict_chunk, register_volume)
 
     log(f"soak model: platform {jax.default_backend()}; "
-        f"{total_reqs} x 64^3 chunk requests, {n_clients} clients")
+        f"{total_reqs} x 64^3 chunk requests, {n_clients} clients, "
+        f"{n_models} model(s), cache_size=1")
     rng = np.random.default_rng(0)
     vol = rng.integers(0, 255, size=(256, 256, 256), dtype=np.uint8)
     register_volume("soakbucket/vol", NumpyVolume(vol))
 
     gen = UNetGenerator(wf=8)
-    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 74, 74, 74, 1)))
-    meta = ExportMeta(buffer=17, outdimsize=40, meanstd_x=(0.1, 0.9),
-                      meanstd_y=(0.2, 1.1), dimsize=74, is3d=True, wf=8)
+    metas, mparams = [], []
     root = tempfile.mkdtemp(prefix="soak_model_")
-    os.makedirs(os.path.join(root, "m"))
-    export_generator(params, meta, os.path.join(root, "m", "v"))
+    for m in range(n_models):
+        p = gen.init(jax.random.PRNGKey(m), jnp.zeros((1, 74, 74, 74, 1)))
+        meta = ExportMeta(buffer=17, outdimsize=40,
+                          meanstd_x=(0.1 + 0.01 * m, 0.9),
+                          meanstd_y=(0.2, 1.1 + 0.01 * m),
+                          dimsize=74, is3d=True, wf=8)
+        os.makedirs(os.path.join(root, f"m{m}"), exist_ok=True)
+        export_generator(p, meta, os.path.join(root, f"m{m}", "v"))
+        metas.append(meta)
+        mparams.append(p)
+    params = mparams[0]
+    meta = metas[0]
     dest_root = tempfile.mkdtemp(prefix="soak_model_out_")
 
-    svc = ModelService(model_root=root, max_inflight=n_clients)
+    svc = ModelService(model_root=root, max_inflight=n_clients,
+                       cache_size=1)
     svc.start()
     me = os.getpid()
     latencies = []
     errors = [0]
     lock = __import__("threading").Lock()
     per_dim = 256 // CHUNK
+    VERIFY_EVERY = max(1, total_reqs // 10)
+    expected = {}  # (model, start) -> direct-path chunk bytes
+
+    def model_of(i):
+        return i % n_models
+
+    def start_of(i):
+        return (CHUNK * (i % per_dim), CHUNK * ((i // per_dim) % per_dim),
+                CHUNK * ((i // per_dim ** 2) % per_dim))
+
+    def direct_chunk(m, start):
+        def fetch(corner, insize):
+            from transfer_em_tpu.native import gather_blocks
+            return gather_blocks(vol, [corner], insize)[0]
+        return predict_tiled(fetch, gen.apply, mparams[m], start,
+                             (CHUNK,) * 3, metas[m].outdimsize,
+                             metas[m].buffer, metas[m].meanstd_x,
+                             metas[m].meanstd_y, batch_size=8)
+
+    def verify(i, dest):
+        m, start = model_of(i), start_of(i)
+        key = (m, start)
+        with lock:
+            want = expected.get(key)
+        if want is None:
+            want = direct_chunk(m, start).tobytes()
+            with lock:
+                expected[key] = want
+        x, y, z = start
+        name = f"{x}-{x+CHUNK}_{y}-{y+CHUNK}_{z}-{z+CHUNK}"
+        with open(os.path.join(dest, name), "rb") as f:
+            got = _gzip.decompress(f.read())
+        if got != want:
+            raise AssertionError(
+                f"req {i}: served bytes != model m{m}'s direct prediction "
+                "(cross-model mixup under eviction churn?)")
 
     def req(i):
-        start = (CHUNK * (i % per_dim), CHUNK * ((i // per_dim) % per_dim),
-                 CHUNK * ((i // per_dim ** 2) % per_dim))
+        start = start_of(i)
         t0 = time.perf_counter()
+        checking = n_models > 1 and i % VERIFY_EVERY == 0
+        # Verified requests write to a PRIVATE dest: the shared i%64 dirs
+        # are re-written by same-start periodic requests (same bytes, but a
+        # concurrent half-written file would flake the byte compare).
+        dest = os.path.join(dest_root, f"v{i}" if checking else str(i % 64))
         try:
             predict_chunk(svc.url, "soakbucket/vol", start=start,
-                          size=(CHUNK,) * 3, model_name="m:v",
-                          dest=os.path.join(dest_root, str(i % 64)))
+                          size=(CHUNK,) * 3,
+                          model_name=f"m{model_of(i)}:v", dest=dest)
+            if checking:
+                verify(i, dest)
             ok = True
         except Exception as e:
             ok = False
@@ -522,9 +587,11 @@ def bench_soak_model(total_reqs=1000, n_clients=8):
                 errors[0] += 1
             latencies.append((i, time.perf_counter() - t0))
 
-    # warmup: compile the tile program shapes
-    req(0)
+    # warmup: compile the tile program shapes (every model once)
+    for m in range(n_models):
+        req(m)
     latencies.clear()
+    errors[0] = 0
     rss0 = _tree_rss_mb(me)
     fds0 = _fd_count(me)
     t0 = time.perf_counter()
@@ -548,11 +615,23 @@ def bench_soak_model(total_reqs=1000, n_clients=8):
 
     from transfer_em_tpu.shapes import tile_plan_outdimsize
     stats = json.loads(_ur.urlopen(svc.url + "/stats").read())["batcher"]
-    slots = stats["tiles"] + stats["padded"]
     eff_out, eff_buf, _ = tile_plan_outdimsize(meta.outdimsize, meta.buffer)
     insize = eff_out + 2 * eff_buf  # 74 for (40, 17) after the mult-of-6 fold
-    h2d_mb = slots * insize ** 3 / 1e6
-    occupancy = stats["tiles"] / max(1, slots)
+    if n_models > 1:
+        # Under eviction churn each model flip recreates the batcher, so the
+        # live /stats counters only cover the current resident model.
+        # Budget from first principles instead: 8 tiles/chunk (granule-8
+        # bucket, no pad), plus one params upload per request upper-bounds
+        # the reload H2D (per-name coalescing makes the true count lower).
+        slots = total_reqs * 8
+        pbytes = sum(np.asarray(l).nbytes
+                     for l in jax.tree.leaves(params))
+        h2d_mb = (slots * insize ** 3 + total_reqs * pbytes) / 1e6
+        occupancy = stats["tiles"] / max(1, stats["tiles"] + stats["padded"])
+    else:
+        slots = stats["tiles"] + stats["padded"]
+        h2d_mb = slots * insize ** 3 / 1e6
+        occupancy = stats["tiles"] / max(1, slots)
     bars = {
         "latency_drift_ok": p50b < 2 * p50a,
         "fd_stable_ok": fds1 <= fds0 + 16,
@@ -570,10 +649,12 @@ def bench_soak_model(total_reqs=1000, n_clients=8):
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(dest_root, ignore_errors=True)
     print(json.dumps({
-        "metric": "serve_soak_model_req_per_sec",
+        "metric": ("serve_soak_model_req_per_sec" if n_models == 1 else
+                   f"serve_soak_model_churn{n_models}_req_per_sec"),
         "value": round(total_reqs / wall, 2), "unit": "req/s",
         "vs_baseline": 1.0 if ok else 0.0,
         "note": f"PASS={ok} bars={bars} errors={errors[0]} "
+                f"models={n_models} verified={len(expected)} starts "
                 f"p50 {p50a:.0f}->{p50b:.0f}ms p95 {p95:.0f}ms "
                 f"rss +{rss1 - rss0:.0f}MB (h2d ~{h2d_mb:.0f}MB, "
                 f"occupancy {occupancy:.0%}) fds {fds0}->{fds1}"}))
@@ -670,7 +751,15 @@ if __name__ == "__main__":
         bench_combined()
     elif which == "soak":
         # data-service soak first (jax-free subprocess), then the model
-        # path on the chip; exit nonzero if either soak's bars fail
+        # path on the chip; exit nonzero if either soak's bars fail.
+        # `soak --models N` runs ONLY the multi-model eviction-churn soak
+        # (cache_size=1, alternating models — VERDICT r4 weak 4).
+        if "--models" in sys.argv:
+            n_models = int(sys.argv[sys.argv.index("--models") + 1])
+            ok = bench_soak_model(
+                total_reqs=int(os.environ.get("SOAK_MODEL_REQS", "1000")),
+                n_models=n_models)
+            sys.exit(0 if ok else 1)
         ok1 = bench_soak_data(
             total_reqs=int(os.environ.get("SOAK_DATA_REQS", "10000")))
         ok2 = bench_soak_model(

@@ -51,6 +51,7 @@ class ConvND(nn.Module):
     use_bias: bool = False
     compute_dtype: Optional[jnp.dtype] = None
     fast_conv: bool = False
+    int8_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -58,7 +59,12 @@ class ConvND(nn.Module):
         kshape = (self.kernel_size,) * ndim + (x.shape[-1], self.features)
         kernel = self.param("kernel", WEIGHT_INIT, kshape, jnp.float32)
         y = None
-        if (self.fast_conv and self.compute_dtype == jnp.bfloat16
+        if self.int8_conv:
+            from ..ops.quant import conv_nd_int8
+            y = conv_nd_int8(x, kernel, stride=self.stride,
+                             padding=self.padding,
+                             out_dtype=self.compute_dtype or jnp.float32)
+        elif (self.fast_conv and self.compute_dtype == jnp.bfloat16
                 and self.kernel_size == 3 and self.stride == 1
                 and self.padding == "VALID" and ndim == 3
                 and jax.default_backend() == "tpu"):
@@ -90,12 +96,18 @@ class ConvActND(nn.Module):
     padding: str = "VALID"
     compute_dtype: Optional[jnp.dtype] = None
     fast_conv: bool = False
+    int8_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         ndim = x.ndim - 2
         kshape = (self.kernel_size,) * ndim + (x.shape[-1], self.features)
         kernel = self.param("kernel", WEIGHT_INIT, kshape, jnp.float32)
+        if self.int8_conv:
+            from ..ops.quant import conv_nd_int8
+            return leaky_relu(conv_nd_int8(
+                x, kernel, stride=self.stride, padding=self.padding,
+                out_dtype=self.compute_dtype or jnp.float32))
         if (self.fast_conv and self.compute_dtype == jnp.bfloat16
                 and self.kernel_size == 3 and self.stride == 1
                 and self.padding == "VALID" and ndim == 3
@@ -121,12 +133,18 @@ class ConvTransposeND(nn.Module):
     kernel_size: int = 4
     stride: int = 2
     compute_dtype: Optional[jnp.dtype] = None
+    int8_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         ndim = x.ndim - 2
         kshape = (self.kernel_size,) * ndim + (x.shape[-1], self.features)
         kernel = self.param("kernel", WEIGHT_INIT, kshape, jnp.float32)
+        if self.int8_conv:
+            from ..ops.quant import conv_transpose_nd_int8
+            return conv_transpose_nd_int8(
+                x, kernel, stride=self.stride,
+                out_dtype=self.compute_dtype or jnp.float32)
         return conv_transpose_nd(x, kernel, stride=self.stride,
                                  compute_dtype=self.compute_dtype)
 
@@ -162,20 +180,24 @@ class DownBlock(nn.Module):
     use_norm: bool = False
     compute_dtype: Optional[jnp.dtype] = None
     fast_conv: bool = False
+    int8_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
         if self.use_norm:
             y = ConvND(self.features, 3, compute_dtype=self.compute_dtype,
-                       fast_conv=self.fast_conv, name="conv")(x)
+                       fast_conv=self.fast_conv, int8_conv=self.int8_conv,
+                       name="conv")(x)
             y = InstanceNorm(name="norm1")(y)
             skip = leaky_relu(y)
         else:
             skip = ConvActND(self.features, 3,
                              compute_dtype=self.compute_dtype,
-                             fast_conv=self.fast_conv, name="conv")(x)
+                             fast_conv=self.fast_conv,
+                             int8_conv=self.int8_conv, name="conv")(x)
         y = ConvND(self.features, 4, stride=2,
-                   compute_dtype=self.compute_dtype, name="down")(skip)
+                   compute_dtype=self.compute_dtype,
+                   int8_conv=self.int8_conv, name="down")(skip)
         if self.use_norm:
             y = InstanceNorm(name="norm2")(y)
         y = leaky_relu(y)
@@ -191,6 +213,7 @@ class UpBlock(nn.Module):
     apply_dropout: bool = True
     compute_dtype: Optional[jnp.dtype] = None
     fast_conv: bool = False
+    int8_conv: bool = False
     dropout_impl: str = "ref"
 
     @nn.compact
@@ -198,15 +221,18 @@ class UpBlock(nn.Module):
         if self.use_norm:
             y = ConvND(self.features * 2, 3,
                        compute_dtype=self.compute_dtype,
-                       fast_conv=self.fast_conv, name="conv")(x)
+                       fast_conv=self.fast_conv, int8_conv=self.int8_conv,
+                       name="conv")(x)
             y = InstanceNorm(name="norm1")(y)
             y = leaky_relu(y)
         else:
             y = ConvActND(self.features * 2, 3,
                           compute_dtype=self.compute_dtype,
-                          fast_conv=self.fast_conv, name="conv")(x)
+                          fast_conv=self.fast_conv,
+                          int8_conv=self.int8_conv, name="conv")(x)
         y = ConvTransposeND(self.features, 4, 2,
-                            compute_dtype=self.compute_dtype, name="up")(y)
+                            compute_dtype=self.compute_dtype,
+                            int8_conv=self.int8_conv, name="up")(y)
         if self.apply_dropout:
             if deterministic:
                 pass

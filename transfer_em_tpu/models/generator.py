@@ -46,6 +46,7 @@ class UNetGenerator(nn.Module):
     use_norm: bool = False
     compute_dtype: Optional[jnp.dtype] = None
     fast_conv: bool = False
+    int8_conv: bool = False  # serve every conv int8 (ops/quant.py probe)
     dropout_impl: str = "ref"  # "rbg8": uint8 hardware-RBG masks (blocks.py)
 
     @nn.compact
@@ -53,37 +54,38 @@ class UNetGenerator(nn.Module):
         cd = self.compute_dtype
         if cd is not None:
             x = x.astype(cd)  # activations flow in compute_dtype end-to-end
-        fc = self.fast_conv
+        fc, q8 = self.fast_conv, self.int8_conv
         x = ConvActND(64 // self.wf, 3, compute_dtype=cd, fast_conv=fc,
-                      name="stem")(x)
+                      int8_conv=q8, name="stem")(x)
 
         down1, skip0 = DownBlock(64 // self.wf, use_norm=False,
                                  compute_dtype=cd, fast_conv=fc,
-                                 name="down1")(x)
+                                 int8_conv=q8, name="down1")(x)
         down2, skip1 = DownBlock(128 // self.wf, use_norm=self.use_norm,
                                  compute_dtype=cd, fast_conv=fc,
-                                 name="down2")(down1)
+                                 int8_conv=q8, name="down2")(down1)
 
         up1 = UpBlock(128 // self.wf, use_norm=self.use_norm,
-                      compute_dtype=cd, fast_conv=fc,
+                      compute_dtype=cd, fast_conv=fc, int8_conv=q8,
                       dropout_impl=self.dropout_impl, name="up1")(
                           down2, deterministic=deterministic)
         skip1c = crop_to_match(skip1, up1)
         x = jnp.concatenate([up1, skip1c], axis=-1)
 
         x = ConvActND(256 // self.wf, 3, compute_dtype=cd, fast_conv=fc,
-                      name="mid")(x)
+                      int8_conv=q8, name="mid")(x)
 
         up0 = UpBlock(64 // self.wf, use_norm=self.use_norm,
-                      compute_dtype=cd, fast_conv=fc,
+                      compute_dtype=cd, fast_conv=fc, int8_conv=q8,
                       dropout_impl=self.dropout_impl,
                       name="up0")(x, deterministic=deterministic)
         skip0c = crop_to_match(skip0, up0)
         x = jnp.concatenate([up0, skip0c], axis=-1)
 
         x = ConvActND(128 // self.wf, 3, compute_dtype=cd, fast_conv=fc,
-                      name="head")(x)
-        x = ConvND(1, 3, compute_dtype=cd, fast_conv=fc, name="out")(x)
+                      int8_conv=q8, name="head")(x)
+        x = ConvND(1, 3, compute_dtype=cd, fast_conv=fc, int8_conv=q8,
+                   name="out")(x)
         return x.astype(jnp.float32)
 
 

@@ -10,6 +10,10 @@ Two checks, both measured in round 1 (PERF.md "bf16 training convergence"):
    (measured 2.9 -> 0.16), every loss finite, discriminators balanced.
 
 Run:  python validate_tpu.py [--accum] [--soak] [--wf1] [--stream]
+      [--crash-resume]
+(--crash-resume: SIGKILL a training subprocess mid-async-save, restart,
+assert last-complete-step auto-restore + bit-equal continuation —
+VERDICT r4 missing item 1.)
 (--wf1: the same 2D warp-fixture convergence bar at wf=1, the full-width
 ~43% MFU regime — VERDICT r3 item 2.)
 (On the remotely-attached chip allow ~5-10 min with a warm compile cache —
@@ -261,13 +265,102 @@ def check_stream_soak(steps=1000, batch=8, epoch_size=64, extent=192):
         svc.stop()
 
 
+def check_crash_resume(n_continue=4):
+    """Crash-resume on the real platform (VERDICT r4 missing item 1): a
+    training subprocess is SIGKILLed with an async orbax save IN FLIGHT;
+    restart with the same exp_name must auto-restore the last COMPLETE
+    step and continue bit-identically to an uninterrupted control run
+    restored from that same step.  (CPU twin: tests/test_crash_resume.py;
+    reference recovery contract: cgan.py:101-103.)"""
+    import signal
+    import subprocess
+    import tempfile
+
+    import jax
+
+    from transfer_em_tpu.train import EM2EM
+
+    root = tempfile.mkdtemp(prefix="crash_resume_")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(root, "worker.py")
+    with open(worker, "w") as f:
+        f.write(f"""
+import os, signal, sys
+import numpy as np
+sys.path.insert(0, {repo!r})
+from transfer_em_tpu.train import EM2EM
+model = EM2EM(74, "crash", is3d=False, wf=32,
+              checkpoint_root={root!r}, seed=0)
+rng = np.random.default_rng(5)
+def batch():
+    return (rng.normal(size=(2, 74, 74, 1)).astype(np.float32),
+            rng.normal(size=(2, 74, 74, 1)).astype(np.float32))
+for _ in range(2):
+    model.train_step(*batch())
+model.make_checkpoint(1)
+model.wait_until_finished()
+for _ in range(2):
+    model.train_step(*batch())
+model.make_checkpoint(2)     # async save in flight...
+os.kill(os.getpid(), signal.SIGKILL)
+""")
+    p = subprocess.run([sys.executable, worker], cwd=repo,
+                       capture_output=True, text=True, timeout=1800)
+    assert p.returncode == -signal.SIGKILL, (p.returncode, p.stderr[-1000:])
+
+    rng = np.random.default_rng(5)
+
+    def batches(n):
+        return [(rng.normal(size=(2, 74, 74, 1)).astype(np.float32),
+                 rng.normal(size=(2, 74, 74, 1)).astype(np.float32))
+                for _ in range(n)]
+
+    bats = batches(4 + n_continue)
+    ctrl_root = tempfile.mkdtemp(prefix="crash_ctrl_")
+    ctrl = EM2EM(74, "crash", is3d=False, wf=32, checkpoint_root=ctrl_root,
+                 seed=0)
+    for x, y in bats[:2]:
+        ctrl.train_step(x, y)
+    ctrl.make_checkpoint(1)
+    for x, y in bats[2:4]:
+        ctrl.train_step(x, y)
+    ctrl.make_checkpoint(2)
+    ctrl.wait_until_finished()
+
+    restored = EM2EM(74, "crash", is3d=False, wf=32, checkpoint_root=root,
+                     seed=0)
+    latest = restored._ckpt_mgr.latest_step()
+    assert latest in (1, 2), latest
+    print(f"[crash] SIGKILL mid-save -> auto-restored step {latest}")
+    ctrl_r = EM2EM(74, "crash", is3d=False, wf=32,
+                   checkpoint_root=tempfile.mkdtemp(prefix="crash_cr_"),
+                   ckpt_restore=os.path.join(ctrl_root, "train_crash",
+                                             str(latest)), seed=0)
+    for x, y in bats[4:]:
+        lr = np.asarray(restored.train_step(x, y))
+        lc = np.asarray(ctrl_r.train_step(x, y))
+        np.testing.assert_array_equal(lr, lc)
+    import jax as _jax
+    for a, b in zip(_jax.tree.leaves(restored.state.gg),
+                    _jax.tree.leaves(ctrl_r.state.gg)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    restored.make_checkpoint(latest + 1)
+    restored.wait_until_finished()
+    assert restored._ckpt_mgr.latest_step() == latest + 1
+    print(f"[crash] CRASH-RESUME OK (restored step {latest}, "
+          f"{n_continue} continued steps bit-equal to control)")
+
+
 if __name__ == "__main__":
     # Flags compose, as the usage line advertises: each one adds its check.
+    if "--crash-resume" in sys.argv:
+        check_crash_resume()
     if "--stream" in sys.argv:
         check_stream_soak()
     if "--wf1" in sys.argv:
         check_2d_convergence(wf=1)
-    if not {"--stream", "--wf1"} & set(sys.argv) or "--accum" in sys.argv:
+    if (not {"--stream", "--wf1", "--crash-resume"} & set(sys.argv)
+            or "--accum" in sys.argv):
         check_2d_convergence(accum_steps=2 if "--accum" in sys.argv else 1)
     if "--soak" in sys.argv:
         check_3d_soak()
