@@ -41,8 +41,12 @@ REPS = 5
 def time_step(step, batch, reps=REPS):
     import numpy as np
 
+    # Warm with the EXACT fetch expression the timed region uses: a
+    # different indexing op would compile its own program through the
+    # remote compile service INSIDE the timed loop (~30 s — the first
+    # run of this bench measured exactly that as "bf16 6.6 s/step").
     out = step(batch)
-    np.asarray(out[0, 0, 0, 0] if out.ndim == 4 else out.ravel()[0])  # warm
+    np.asarray(out.ravel()[0])
     t0 = time.perf_counter()
     for _ in range(reps):
         out = step(batch)
