@@ -64,11 +64,14 @@ result = {{"pid": pid, "errors": {{}}}}
 def guard(name):
     # Record one proof's failure WITHOUT killing the process: the remaining
     # proofs (and their barriers) must still run so the peer doesn't hang.
+    # First error wins — a dependent guard's secondary failure (e.g. a
+    # NameError over state the first part never set) must not overwrite
+    # the root cause.
     def deco(fn):
         try:
             fn()
         except BaseException:
-            result["errors"][name] = traceback.format_exc()
+            result["errors"].setdefault(name, traceback.format_exc())
         return None
     return deco
 
@@ -130,16 +133,29 @@ if "ckpt" in PROOFS:
     # Multi-process orbax checkpoint round-trip: BOTH processes participate
     # in the save (orbax coordinates via the jax.distributed client), then
     # restore with the live shardings and compare the locally-addressable
-    # data.
+    # data.  The rendezvous barrier sits OUTSIDE the guarded sections: a
+    # one-sided save failure must still reach the barrier, or the healthy
+    # peer stalls its full 600 s timeout and every later proof desyncs.
+    _ckpt_mgr = [None]
+
     @guard("ckpt")
-    def _ckpt():
+    def _ckpt_save():
         import orbax.checkpoint as ocp
         if new_state is None:
             raise RuntimeError("dp step failed earlier")
         mgr = ocp.CheckpointManager(os.path.join(outdir, "mh_ckpt"))
+        _ckpt_mgr[0] = mgr
         mgr.save(1, args=ocp.args.StandardSave(new_state))
         mgr.wait_until_finished()
-        barrier("mh_ckpt_saved")
+
+    barrier("mh_ckpt_saved")
+
+    @guard("ckpt")
+    def _ckpt_restore():
+        import orbax.checkpoint as ocp
+        mgr = _ckpt_mgr[0]
+        if mgr is None:
+            raise RuntimeError("save failed earlier")
         abstract = jax.tree.map(
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
                                            sharding=a.sharding),
@@ -277,9 +293,15 @@ def _run_pair(tmpdir, ndev, proofs):
         env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for pid in (0, 1)]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:  # a timed-out pair must not linger into later tests
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 

@@ -147,14 +147,33 @@ def scatter_tiles(out_zyx: np.ndarray, tiles_u8: np.ndarray,
     scatter_blocks(out_zyx, tiles_u8, indices, outdimsize)
 
 
+@functools.lru_cache(maxsize=8)
+def _fingerprint_fn(n_leaves):
+    """One jitted program gathering first-4 + last-4 elements of EVERY leaf
+    into a single small array — one device dispatch + one fetch regardless
+    of leaf count (eager per-leaf slicing would pay the ~28 ms tunnel
+    round-trip per op, CLAUDE.md)."""
+    del n_leaves  # cache key only: retrace per leaf count
+
+    def fp(leaves):
+        parts = []
+        for l in leaves:
+            f = jnp.ravel(l).astype(jnp.float32)
+            parts.append(f[:4])
+            parts.append(f[-4:])
+        return jnp.concatenate(parts)
+
+    return jax.jit(fp)
+
+
 def _params_equivalent(a, b) -> bool:
     """Cheap structural fingerprint for two params pytrees of the SAME
-    model: tree structure, every leaf's shape/dtype, and the exact values of
-    a small deterministic sample of leaf prefixes must all match.  Catches a
-    wrong-model batcher (different architecture => structure/shape mismatch;
-    same architecture, different weights => sampled values differ) without a
-    full-tree fetch — each sample is an 8-element device slice, so the cost
-    through the remote-device tunnel stays a few small fetches."""
+    model: tree structure, every leaf's shape/dtype, and the exact first-4/
+    last-4 elements of EVERY leaf must all match.  Catches a wrong-model
+    batcher (different architecture => structure/shape mismatch; same
+    architecture, different weights => per-layer samples differ — even a
+    fine-tune with some frozen layers changes most leaves) without a
+    full-tree fetch: the sample rides one jitted gather + one small fetch."""
     la, ta = jax.tree.flatten(a)
     lb, tb = jax.tree.flatten(b)
     if ta != tb or len(la) != len(lb):
@@ -165,12 +184,9 @@ def _params_equivalent(a, b) -> bool:
             return False
     if not la:
         return True
-    for i in {0, len(la) // 2, len(la) - 1}:
-        sx = np.asarray(jnp.ravel(la[i])[:8])
-        sy = np.asarray(jnp.ravel(lb[i])[:8])
-        if not np.array_equal(sx, sy):
-            return False
-    return True
+    fp = _fingerprint_fn(len(la))
+    return bool(np.array_equal(np.asarray(fp(tuple(la))),
+                               np.asarray(fp(tuple(lb)))))
 
 
 def predict_tiled(

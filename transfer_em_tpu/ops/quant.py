@@ -8,12 +8,19 @@ bar (40 dB vs the TF reference, BASELINE.md) has ~11 dB of headroom at bf16
 int8_conv=True)`` routes every conv through them; ``bench_int8.py`` measures
 throughput AND golden PSNR, and PERF.md records the keep-or-close verdict.
 
-Scheme (the standard dynamic-activation / static-weight recipe):
+Scheme (the standard dynamic-activation / per-channel-weight recipe):
 
 * activations: per-tensor symmetric int8 (scale = max|x| / 127, computed on
   device per call — one reduction, fused by XLA into the preceding op);
 * weights: per-output-channel symmetric int8 (scale per Cout — the shape
-  that preserves conv linearity: y[..., c] scales by s_x * s_w[c]);
+  that preserves conv linearity: y[..., c] scales by s_x * s_w[c]).
+  Weight quantization ALSO runs per traced call: params are jit arguments
+  (the serving tile step keys one program across checkpoints), so it
+  cannot constant-fold.  The cost is one abs-max reduction + round over
+  the param bytes per step — ~1 MB at wf=8 / ~77 MB at wf=1, i.e. ~0.1 ms
+  of HBM traffic against a 23-48 ms step, and it does not change the
+  bench_int8.py keep-or-close verdict (a separate pre-quantized-params
+  pipeline would complicate the API for <1% of step time);
 * conv: int8 x int8 -> int32 accumulation (``preferred_element_type``),
   dequantized straight into the requested compute dtype.
 

@@ -347,6 +347,13 @@ os.kill(os.getpid(), signal.SIGKILL)
     restored.make_checkpoint(latest + 1)
     restored.wait_until_finished()
     assert restored._ckpt_mgr.latest_step() == latest + 1
+    # ... and a FRESH process-equivalent reopen restores that new step
+    # (mirrors tests/test_crash_resume.py — keep the two proofs in sync).
+    fresh = EM2EM(74, "crash", is3d=False, wf=32, checkpoint_root=root,
+                  seed=7)
+    for a, b in zip(_jax.tree.leaves(fresh.state.gg),
+                    _jax.tree.leaves(restored.state.gg)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     print(f"[crash] CRASH-RESUME OK (restored step {latest}, "
           f"{n_continue} continued steps bit-equal to control)")
 
