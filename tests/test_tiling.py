@@ -351,3 +351,40 @@ def test_predict_tiled_out_with_batcher():
         np.testing.assert_array_equal(got, want)
     finally:
         batcher.close()
+
+
+def test_default_batch_size_width_aware():
+    """B=128 at the reference's widths; scaled down for full-width models
+    whose activations would OOM (and wedge the remote tunnel) at 128."""
+    import jax
+    import jax.numpy as jnp
+
+    from transfer_em_tpu.infer.batcher import make_tile_batcher
+    from transfer_em_tpu.infer.tiling import default_batch_size
+    from transfer_em_tpu.models import UNetGenerator
+
+    x = jnp.zeros((1, 38, 38, 1))
+    by_wf = {}
+    for wf in (8, 1):
+        p = UNetGenerator(wf=wf).init(jax.random.PRNGKey(0), x)
+        by_wf[wf] = default_batch_size(p)
+    assert by_wf[8] == 128 and by_wf[1] == 16
+    # wf=32 (the CPU test width) stays at the ceiling; junk falls back
+    p32 = UNetGenerator(wf=32).init(jax.random.PRNGKey(0), x)
+    assert default_batch_size(p32) == 128
+    assert default_batch_size({"a": 1}) == 128
+
+    # the serving batcher resolves the same width-aware default per model
+    p1 = UNetGenerator(wf=1).init(jax.random.PRNGKey(0), x)
+    b = make_tile_batcher(UNetGenerator(wf=1).apply, p1, (0.0, 1.0),
+                          (0.0, 1.0), 40, 17)
+    try:
+        assert b.max_batch == 16
+    finally:
+        b.close()
+    b = make_tile_batcher(UNetGenerator(wf=1).apply, p1, (0.0, 1.0),
+                          (0.0, 1.0), 40, 17, max_batch=64)  # explicit wins
+    try:
+        assert b.max_batch == 64
+    finally:
+        b.close()

@@ -42,7 +42,7 @@ def choose_mode(vol_shape, size, hbm_bytes=None, headroom=0.5):
 
 def predict_volume(vol_zyx, gen_apply, params, start, size,
                    meanstd_x, meanstd_y, *, outdimsize=40, buffer=17,
-                   mode="device", batch_size=128, as_numpy=True,
+                   mode="device", batch_size=None, as_numpy=True,
                    mesh=None, max_block_bytes=1 << 30, out=None):
     """Predict a region of an in-memory/HBM-resident uint8 zyx volume.
 
@@ -76,7 +76,14 @@ def predict_volume(vol_zyx, gen_apply, params, start, size,
     ``out`` (stream/tiles modes): preallocated zyx uint8 output, e.g. an
     np.memmap for results larger than host RAM.  The device/slab modes
     stitch in HBM and reject ``out=`` rather than silently ignoring it.
+    ``batch_size=None`` (default): width-aware — 128 at the reference's
+    wf=8 widths, scaled down for wider models whose activations would OOM
+    at 128 (wf=1 -> 16; see ``infer.tiling.default_batch_size``).  Pass an
+    int to override.
     """
+    if batch_size is None:
+        from .tiling import default_batch_size
+        batch_size = default_batch_size(params)
     if mode == "auto":
         if not as_numpy and out is not None:
             # Contradictory asks: as_numpy=False means "give me a device

@@ -262,7 +262,7 @@ class TileBatcher:
 
 def make_tile_batcher(gen_apply: Callable, params, meanstd_x, meanstd_y,
                       outdimsize: int, buffer: int, *, mesh=None,
-                      sharding=None, max_batch: int = 128,
+                      sharding=None, max_batch: Optional[int] = None,
                       linger_ms: float = 5.0,
                       min_bucket: int = 8,
                       bucket_granule: int = 8) -> TileBatcher:
@@ -273,12 +273,18 @@ def make_tile_batcher(gen_apply: Callable, params, meanstd_x, meanstd_y,
     (reference utils.py:70-75) is applied here exactly as ``plan_tiles``
     applies it, so the batcher serves any ``predict_tiled`` request for this
     model.  ``mesh``: shard every batch over the mesh's 'data' axis
-    (bucket sizes round up to the axis size).
+    (bucket sizes round up to the axis size).  ``max_batch=None``: width-
+    aware default — 128 at the reference's wf=8 widths, scaled down for
+    full-width models whose activations would OOM at 128
+    (``tiling.default_batch_size``).
     """
     from jax import numpy as jnp
 
     from ..shapes import tile_plan_outdimsize
-    from .tiling import data_sharding, make_tile_step
+    from .tiling import data_sharding, default_batch_size, make_tile_step
+
+    if max_batch is None:
+        max_batch = default_batch_size(params)
 
     multiple = 1
     if mesh is not None:

@@ -147,6 +147,31 @@ def scatter_tiles(out_zyx: np.ndarray, tiles_u8: np.ndarray,
     scatter_blocks(out_zyx, tiles_u8, indices, outdimsize)
 
 
+def default_batch_size(params, ceiling: int = 128, floor: int = 8) -> int:
+    """Width-aware device batch size.
+
+    B=128 is the measured device sweet spot at the reference's default
+    widths (wf=8, widest conv 32 channels — PERF.md "Inference"), but
+    per-tile activation memory scales ~linearly with channel count, and a
+    straight B=128 on a full-width (wf=1, widest 256) model OOMs the chip
+    — which on a remotely-attached TPU can also wedge the tunnel for tens
+    of minutes (CLAUDE.md).  Scale the ceiling by 32/widest-kernel-output
+    and round down to a multiple of 8 (the batcher's bucket granule):
+    wf=8 -> 128, wf=4 -> 64, wf=2 -> 32, wf=1 -> 16 (B=16 measured best
+    AND safe at wf=1, bench_infer --wf1).  Unrecognizable params fall back
+    to the ceiling."""
+    try:
+        widest = max((int(l.shape[-1]) for l in jax.tree.leaves(params)
+                      if hasattr(l, "shape") and len(l.shape) >= 4),
+                     default=0)
+    except Exception:
+        widest = 0
+    if widest <= 0:
+        return ceiling
+    b = (ceiling * 32 // max(widest, 1)) // 8 * 8
+    return max(floor, min(ceiling, b))
+
+
 @functools.lru_cache(maxsize=8)
 def _fingerprint_fn(n_leaves):
     """One jitted program gathering first-4 + last-4 elements of EVERY leaf

@@ -458,7 +458,7 @@ class ModelService:
 
     def __init__(self, model_root: Optional[str] = None,
                  host: str = "127.0.0.1", port: int = 0, mesh=None,
-                 cross_batch: bool = True, max_batch: int = 128,
+                 cross_batch: bool = True, max_batch: Optional[int] = None,
                  linger_ms: float = 5.0, cache_size: Optional[int] = None,
                  max_inflight: Optional[int] = None,
                  request_timeout_s: Optional[float] = None):
@@ -471,7 +471,11 @@ class ModelService:
         most ``linger_ms`` for stragglers (infer/batcher.py — the measured
         ~7x device-throughput lever for fleets of small 64-aligned chunk
         requests, the reference's production pattern).  Bit-identical
-        results; occupancy counters at ``GET /stats``.
+        results; occupancy counters at ``GET /stats``.  ``max_batch=None``
+        (default): width-aware per model — 128 at the reference's wf=8
+        widths, scaled down for full-width models whose activations would
+        OOM at 128 (infer.tiling.default_batch_size; each cached model
+        resolves its own limit at load).
 
         ``cache_size``: how many models stay resident (LRU).  Default 1 ==
         the reference's single-model cache; raise it (or set the
