@@ -656,3 +656,32 @@ def test_ng_output_predictor(exported, volume, data_service, tmp_path):
     assert info["scales"][0]["size"] == [64, 64, 64]
     blocks = os.listdir(os.path.join(dests[0], "64_64_64"))
     assert len(blocks) == 1  # one 64^3 block
+
+
+def test_cors_preflight_both_services(data_service, exported, tmp_path):
+    """The reference ran flask_cors CORS(app) on BOTH services
+    (cloudrun_functions/transferem.py:21, model_cloudrun/transferem.py:25),
+    which answers browser preflights; our stdlib handlers must too, or a
+    cross-origin JSON POST dies at the 501 default (round-5 review)."""
+    import urllib.request
+
+    d, gen, params, meta = exported
+    root = tmp_path / "models_cors"
+    os.makedirs(root / "m1", exist_ok=True)
+    os.symlink(d, root / "m1" / "v1")
+    svc = ModelService(model_root=str(root))
+    svc.start()
+    try:
+        for url in (data_service.url + "/volume", svc.url + "/"):
+            req = urllib.request.Request(url, method="OPTIONS")
+            resp = urllib.request.urlopen(req)
+            assert resp.status == 204
+            assert resp.headers["Access-Control-Allow-Origin"] == "*"
+            assert "POST" in resp.headers["Access-Control-Allow-Methods"]
+            assert ("Content-Type"
+                    in resp.headers["Access-Control-Allow-Headers"])
+        # normal responses carry Allow-Origin on both services too
+        r = urllib.request.urlopen(svc.url + "/healthz")
+        assert r.headers["Access-Control-Allow-Origin"] == "*"
+    finally:
+        svc.stop()

@@ -424,3 +424,38 @@ def test_halo_predict_2d():
     assert got.shape == want.shape == (Y, 40, 1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_initialize_refuses_silent_multihost_degradation(monkeypatch):
+    """initialize() with no args: a failed auto-detect is the normal
+    single-process path (warn + continue) — UNLESS the environment carries
+    multi-host markers, where silently degrading would train N divergent
+    single-host models with identical ROI streams (round-5 review)."""
+    import warnings
+
+    from transfer_em_tpu.parallel import distributed as dist
+
+    def boom():
+        raise ValueError("no cluster config")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dist.initialize()  # no markers: warn, continue single-process
+    assert any("single-process" in str(x.message) for x in w)
+
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    with pytest.raises(RuntimeError, match="multi-host markers"):
+        dist.initialize()
+    monkeypatch.delenv("COORDINATOR_ADDRESS")
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    with pytest.raises(RuntimeError, match="TPU_WORKER_HOSTNAMES"):
+        dist.initialize()
+    # a single-host TPU VM (one hostname) is NOT a multi-host marker
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dist.initialize()
+    assert any("single-process" in str(x.message) for x in w)

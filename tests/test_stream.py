@@ -136,3 +136,21 @@ def test_stream_out_must_be_uint8_contiguous():
                                                 np.uint8),
                           lambda p, x: x, None, (0, 0, 0), (8, 8, 8),
                           40, 17, (0.0, 1.0), (0.0, 1.0), out=bad)
+
+
+def test_stream_zero_extent_request_returns_empty():
+    """A degenerate zero-size axis must return the empty array, not fetch a
+    block or divide by a zero grid axis (round-5 review)."""
+    import jax
+    import jax.numpy as jnp
+
+    from transfer_em_tpu.infer import predict_volume
+    from transfer_em_tpu.models import UNetGenerator
+
+    gen = UNetGenerator(wf=32)
+    params = gen.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 74, 74, 74, 1)))
+    vol = np.zeros((100, 100, 100), np.uint8)
+    out = predict_volume(vol, gen.apply, params, (0, 0, 0), (64, 0, 64),
+                         (0.0, 1.0), (0.0, 1.0), mode="stream")
+    assert out.shape == (64, 0, 64) and out.dtype == np.uint8

@@ -267,8 +267,7 @@ def open_tensorstore(location: str, scale_index: int = 0):
             "scale_index": scale_index,
         }
     ds = ts.open(spec).result()
-    import tensorstore as ts2
-    return ds[ts2.d["channel"][0]]
+    return ds[ts.d["channel"][0]]
 
 
 class CloudRunFetcher:
@@ -357,7 +356,18 @@ def volume3d_ng(location: str, bbox: Optional[BBox] = None, size: int = 132,
             # the bbox/volume edge (see its docstring), and tensorstore
             # raises OutOfRange on any out-of-domain slice (the reference
             # would crash here, generators.py:139-142; the DVID transport
-            # zero-fills server-side — this makes the transports uniform).
+            # zero-fills server-side — this makes the transports' EDGE
+            # semantics uniform).
+            # KEPT REFERENCE QUIRK — axis orientation: this transport
+            # returns the tensorstore read in xyz index order, while the
+            # cloudrun transport reshapes the response bytes C-order
+            # (== zyx for our data service's byte contract) with NO
+            # transpose — exactly the reference's behavior, where the
+            # transpose is commented out (generators.py:156
+            # `#data = data.transpose((2,1,0))` vs the raw read at :141).
+            # Training consumes iid sampled cubes, so a consistent
+            # per-transport orientation is benign; just don't switch
+            # transports mid-experiment expecting voxel-identical streams.
             want_lo = np.asarray(corner, np.int64)
             want_hi = want_lo + size
             lo = np.maximum(want_lo, dom_lo)

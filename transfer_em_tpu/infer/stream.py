@@ -182,6 +182,8 @@ def predict_streaming(
         out[oz:oz + vz, oy:oy + vy, ox:ox + vx] = chunk_zyx[:vz, :vy, :vx]
 
     n = plan.num_chunks
+    if n == 0:  # zero-extent request: nothing to fetch or compute
+        return out
     pending: list[Tuple[int, jax.Array]] = []
     with ThreadPoolExecutor(max_workers=1) as ex:
         block_dev = jax.device_put(fetch(0))

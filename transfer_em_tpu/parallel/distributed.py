@@ -40,10 +40,40 @@ def initialize(coordinator_address: Optional[str] = None,
         # are native.
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     if num_processes in (None, 1) and coordinator_address is None:
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized
         try:
             jax.distributed.initialize()
-        except Exception:
-            return  # single-process / already initialized
+        except Exception as e:
+            # Auto-detect found no cluster config — the normal single-
+            # process path.  But if the environment SAYS this is a
+            # multi-host job, silently degrading would be catastrophic:
+            # every host would see process_index()==0, host_sharded_seed
+            # would hand ALL hosts the same ROI stream, and N divergent
+            # models would train with nothing ever failing (round-5 review
+            # finding).  Refuse in that case instead of swallowing.
+            import os
+            import warnings
+            markers = [k for k in ("COORDINATOR_ADDRESS",
+                                   "JAX_COORDINATOR_ADDRESS",
+                                   "MEGASCALE_COORDINATOR_ADDRESS")
+                       if os.environ.get(k)]
+            hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+            if len([h for h in hosts.split(",") if h]) > 1:
+                markers.append("TPU_WORKER_HOSTNAMES")
+            if markers:
+                raise RuntimeError(
+                    "jax.distributed auto-initialization failed but the "
+                    f"environment carries multi-host markers {markers} — "
+                    "refusing to degrade to isolated single-host training "
+                    "(per-host ROI streams and gradient sync would "
+                    "silently diverge)") from e
+            warnings.warn(
+                f"jax.distributed auto-initialization unavailable "
+                f"({type(e).__name__}: {e}); continuing single-process",
+                RuntimeWarning, stacklevel=2)
+            return
     else:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

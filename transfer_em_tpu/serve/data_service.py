@@ -79,6 +79,21 @@ def make_handler(slice_cache: LruCache):
             self.end_headers()
             self.wfile.write(body)
 
+        def do_OPTIONS(self):
+            # CORS preflight: the reference ran flask_cors CORS(app)
+            # (cloudrun_functions/transferem.py:21), which answers
+            # preflights; without this, a browser's cross-origin POST
+            # /volume (Content-Type: application/json triggers preflight)
+            # would be blocked at the 501 BaseHTTPRequestHandler default.
+            self.send_response(204)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Methods",
+                             "GET, POST, OPTIONS")
+            self.send_header("Access-Control-Allow-Headers",
+                             "Content-Type, Authorization")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
         def do_POST(self):
             parsed = urlparse(self.path)
             if parsed.path != "/volume":
@@ -122,7 +137,12 @@ def make_handler(slice_cache: LruCache):
                 if 1 not in size[:3]:
                     return self._send(400, b"one dimension must be size 1",
                                       "text/plain")
-                key = f"{location}_{startstr}_{sizestr}_{fmt}"
+                # Tuple key rather than the reference's "_"-joined string
+                # (transferem.py:72): the string form is unambiguous only
+                # because start/size are always exactly 3 ints and fmt one
+                # token — the tuple needs no such argument, and the cache
+                # is internal so no wire contract changes.
+                key = (location, startstr, sizestr, fmt)
                 resp = slice_cache.get(key)
                 if resp is None:
                     vol = open_volume(location)
