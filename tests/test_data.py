@@ -341,3 +341,23 @@ def test_parallel_fetch_abandonment_drops_queued_work():
     assert dt < 0.5, dt
     time.sleep(0.2)  # let any stragglers run if cancellation were broken
     assert started[0] <= 1 + 2 * 4, started[0]  # window, not the 200
+
+
+def test_make_warp_map_accepts_typed_keys():
+    """New-style typed PRNG keys (jax.random.key) are ndim-0 scalars —
+    they must route to the key branch, not the integer fold_in slot
+    (round-5 review), and stay deterministic."""
+    from transfer_em_tpu.ops.warp import make_warp_map
+
+    m = make_warp_map(seed=3)
+    el = jnp.asarray(np.random.default_rng(0)
+                     .uniform(-1, 1, (74, 74, 1)).astype(np.float32))
+    k = jax.random.key(7)
+    a = np.asarray(m(el, k))
+    b = np.asarray(m(el, jax.random.key(7)))
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == el.shape and np.isfinite(a).all()
+    # legacy uint32 keys and integer indices still work
+    c = np.asarray(m(el, jax.random.PRNGKey(7)))
+    d = np.asarray(m(el, 5))
+    assert c.shape == el.shape and d.shape == el.shape

@@ -46,9 +46,16 @@ def test_create_prior_helper(tmp_path):
     out = prior(x)
     # down1 of a 74 input: 34 spatial (shapes trace), 64//32=2 channels
     assert out.shape == (1, 34, 34, 2)
-    # frozen: no gradient flows to the prior inputs... check stop_gradient
-    g = jax.grad(lambda v: jnp.sum(prior(v)))(x)
-    np.testing.assert_array_equal(np.asarray(g), 0.0)
+    # Reference semantics (trainable=False, cgan.py:29): weights frozen,
+    # but INPUT gradients flow — the generator's adversarial signal rides
+    # through the prior branch (round-5 fix; the old output stop_gradient
+    # severed it).
+    xg = np.random.default_rng(0).normal(size=x.shape).astype(np.float32)
+    g = jax.grad(lambda v: jnp.sum(prior(v) ** 2))(jnp.asarray(xg))
+    g = np.asarray(g)
+    assert np.all(np.isfinite(g)) and np.any(g != 0.0)
+    # (Weight freezing is structural: the closure holds stop_gradient'd
+    # leaves and the train step's grad argnums never include them.)
 
     with pytest.raises(KeyError):
         create_prior_helper(str(tmp_path / "m"), "nope")(x)
@@ -84,6 +91,17 @@ def test_step_timer():
     t.start()
     dt = t.stop()
     assert dt >= 0 and t.ema is not None and t.items_per_sec > 0
+
+    # items= scales the rate: a 64-item batch in the same wall time must
+    # report ~64x the items/sec of a 1-item step (round-5 review: the old
+    # property ignored items and returned intervals/sec).
+    import time as _time
+    a, b = StepTimer(alpha=1.0), StepTimer(alpha=1.0)
+    for timer, items in ((a, 1), (b, 64)):
+        timer.start()
+        _time.sleep(0.01)
+        timer.stop(items=items)
+    assert b.items_per_sec == pytest.approx(64 * a.items_per_sec, rel=0.5)
 
 
 def test_profile_trace_writes(tmp_path):

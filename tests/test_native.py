@@ -51,3 +51,35 @@ def test_gather_scatter_roundtrip(rng):
     out = np.zeros_like(vol)
     native.scatter_blocks(out, tiles, corners, 16)
     np.testing.assert_array_equal(out, vol)
+
+
+def test_scatter_clips_negative_offsets(rng):
+    """The public contract says '(clipped)': a NEGATIVE xyz offset must
+    drop the tile's leading planes, in BOTH the C++ path and the numpy
+    fallback (round-5 review: the C++ path clipped only the high faces —
+    an out-of-bounds memcpy — and the fallback wrapped via Python negative
+    slicing, writing to the far end of the axis)."""
+    from transfer_em_tpu import native
+
+    t = 4
+    tile = rng.integers(1, 255, size=(1, t, t, t), dtype=np.uint8)
+    want = np.zeros((8, 8, 8), np.uint8)
+    # offset xyz = (-2, -1, -3): leading 2 x-cols, 1 y-row, 3 z-planes drop
+    want[0:1, 0:3, 0:2] = tile[0][3:4, 1:4, 2:4]
+
+    for use_native in ([True] if native.native_available() else []) + [False]:
+        out = np.zeros((8, 8, 8), np.uint8)
+        if use_native:
+            native.scatter_blocks(out, tile, [(-2, -1, -3)], t)
+        else:
+            lib, native._lib = native._lib, None
+            failed, native._build_failed = native._build_failed, True
+            try:
+                native.scatter_blocks(out, tile, [(-2, -1, -3)], t)
+            finally:
+                native._lib, native._build_failed = lib, failed
+        np.testing.assert_array_equal(out, want, err_msg=f"native={use_native}")
+        # fully out of bounds: no write, no crash
+        out2 = np.zeros((8, 8, 8), np.uint8)
+        native.scatter_blocks(out2, tile, [(-10, 0, 0)], t)
+        assert not out2.any()

@@ -912,3 +912,38 @@ def test_check_prior_matches_warns_on_opaque_callable():
     with _w.catch_warnings():
         _w.simplefilter("error")
         compat._check_prior_matches([], lambda x: x)
+
+
+def test_prior_input_gradient_matches_reference(tmp_path):
+    """The reference freezes the prior's WEIGHTS only (trainable=False,
+    cgan.py:29) — input gradients flow through the prior branch, carrying
+    the generator's adversarial signal through disc_y (discriminator.py:
+    62-70).  Round-5 fix: our prior used to stop_gradient its OUTPUT,
+    silently severing that path.  Pin d(sum(prior(x)^2))/dx against the
+    live TF prior with identical weights."""
+    import jax
+    import jax.numpy as jnp
+    import tensorflow as tf
+
+    from transfer_em_tpu.train import create_prior_helper
+
+    pm, _ = _load_reference_generator(False, wf=2)
+    prior_h5 = str(tmp_path / "prior.h5")
+    pm.save(prior_h5)
+    ref_prior = _make_ref_prior(tf, pm)
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-1, 1, size=(1, 40, 40, 1)).astype(np.float32)
+
+    xt = tf.constant(x)
+    with tf.GradientTape() as tape:
+        tape.watch(xt)
+        y = tf.reduce_sum(tf.square(ref_prior(xt, training=False)))
+    want = tape.gradient(y, xt).numpy()
+
+    prior = create_prior_helper(prior_h5, "down1")
+    got = np.asarray(jax.grad(
+        lambda v: jnp.sum(prior(v) ** 2))(jnp.asarray(x)))
+
+    assert np.any(want != 0.0)  # the reference path really carries signal
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)

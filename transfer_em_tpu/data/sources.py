@@ -270,6 +270,38 @@ def open_tensorstore(location: str, scale_index: int = 0):
     return ds[ts.d["channel"][0]]
 
 
+def read_ts_box_zyx(ds, corner_xyz, size_xyz, dom_lo=None, dom_hi=None
+                    ) -> np.ndarray:
+    """Clamp-to-domain, zero-filled zyx read of an xyz-indexed tensorstore
+    box — THE shared edge-semantics implementation for serving reads
+    (serve/backends.TensorstoreVolume) and tiled-inference fetches
+    (infer/tiling.predict_ng_cube), so an OOB/fill-semantics fix lands
+    once (round-5 review; same rule as native.gather_box for host arrays).
+
+    tensorstore raises OutOfRange on any out-of-domain slice, and every
+    edge-touching request legitimately plans halo corners past the faces.
+    The F-order xyz read transposed to zyx matches the serving byte
+    contract (reference cloudrun_functions/transferem.py:146-180)."""
+    if dom_lo is None:
+        dom_lo = np.asarray(ds.domain.inclusive_min[:3], np.int64)
+    if dom_hi is None:
+        dom_hi = np.asarray(ds.domain.exclusive_max[:3], np.int64)
+    want_lo = np.asarray(corner_xyz, np.int64)
+    want_hi = want_lo + np.asarray(size_xyz, np.int64)
+    lo = np.maximum(want_lo, dom_lo)
+    hi = np.minimum(want_hi, dom_hi)
+    sx, sy, sz = (int(v) for v in size_xyz)
+    out = np.zeros((sz, sy, sx), np.uint8)  # zyx
+    if np.all(lo < hi):
+        data = ds[lo[0]:hi[0], lo[1]:hi[1],
+                  lo[2]:hi[2]].read(order="F").result()
+        sub = np.asarray(data, np.uint8).transpose(2, 1, 0)
+        o = lo - want_lo  # xyz offsets
+        out[o[2]:o[2] + sub.shape[0], o[1]:o[1] + sub.shape[1],
+            o[0]:o[0] + sub.shape[2]] = sub
+    return out
+
+
 class CloudRunFetcher:
     """POST /volume client with identity-token auth + stale-token retry
     (reference generators.py:127-157)."""

@@ -507,30 +507,14 @@ def predict_ng_cube(location: str, start, size, model, meanstd_x, meanstd_y,
         def fetch_tile(corner, insize):
             # Clamp to the volume domain and zero-fill the rest: every
             # edge-touching request plans halo corners at start-buffer
-            # (negative / past the far face), and tensorstore raises
-            # OutOfRange on any out-of-domain slice.  Same uniform-transport
-            # rule as the training fetcher (data/sources.py volume3d_ng) and
-            # serve/backends.TensorstoreVolume.
-            want_lo = np.asarray(corner, np.int64)
-            want_hi = want_lo + insize
-            lo = np.maximum(want_lo, dom_lo)
-            hi = np.minimum(want_hi, dom_hi)
-            if np.any(lo >= hi):
-                return np.zeros((insize,) * 3, np.uint8)
-            data = np.asarray(
-                ds[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]].read(
-                    order="F").result(), np.uint8)
-            if not (np.array_equal(lo, want_lo)
-                    and np.array_equal(hi, want_hi)):
-                full = np.zeros((insize,) * 3, np.uint8)
-                o = lo - want_lo
-                full[o[0]:o[0] + data.shape[0], o[1]:o[1] + data.shape[1],
-                     o[2]:o[2] + data.shape[2]] = data
-                data = full
-            # tensorstore yields xyz-indexed data; tiles are zyx throughout
-            # (the reference mixes the two — utils.py:121 scatters xyz tiles
-            # into a zyx buffer; we keep one consistent convention).
-            return data.transpose(2, 1, 0)
+            # (negative / past the far face).  ONE shared implementation
+            # with serve/backends.TensorstoreVolume — an edge-semantics
+            # fix must not have to land twice (tiles are zyx throughout;
+            # the reference mixes xyz tiles into a zyx buffer,
+            # utils.py:121).
+            from ..data.sources import read_ts_box_zyx
+            return read_ts_box_zyx(ds, corner, (insize,) * 3,
+                                   dom_lo, dom_hi)
     else:
         fetcher = CloudRunFetcher(cloudrun, location)
 

@@ -38,15 +38,30 @@ def _build() -> Optional[ctypes.CDLL]:
 
 
 def _load_lib() -> Optional[ctypes.CDLL]:
-    lib = ctypes.CDLL(_LIB_PATH)
-    u8p = ctypes.POINTER(ctypes.c_uint8)
-    i64 = ctypes.c_int64
-    i64p = ctypes.POINTER(i64)
-    lib.tem_scatter_blocks.argtypes = [u8p, i64, i64, i64, u8p, i64, i64, i64p, i64]
-    lib.tem_scatter_blocks.restype = None
-    lib.tem_gather_blocks.argtypes = [u8p, i64, i64, i64, u8p, i64, i64, i64p, i64]
-    lib.tem_gather_blocks.restype = None
-    return lib
+    global _build_failed
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64 = ctypes.c_int64
+        i64p = ctypes.POINTER(i64)
+        lib.tem_scatter_blocks.argtypes = [u8p, i64, i64, i64, u8p, i64,
+                                           i64, i64p, i64]
+        lib.tem_scatter_blocks.restype = None
+        lib.tem_gather_blocks.argtypes = [u8p, i64, i64, i64, u8p, i64,
+                                          i64, i64p, i64]
+        lib.tem_gather_blocks.restype = None
+        return lib
+    except (OSError, AttributeError) as e:
+        # A present-but-unloadable .so (wrong arch/glibc, truncated copy,
+        # missing symbol) must engage the numpy fallback like a failed
+        # build — not crash every serving read, repeatedly (round-5
+        # review).  Cache the failure so the error logs once.
+        import warnings
+        _build_failed = True
+        warnings.warn(f"libtemnative.so present but unloadable "
+                      f"({type(e).__name__}: {e}); using the numpy "
+                      "fallback", RuntimeWarning, stacklevel=2)
+        return None
 
 
 def _get_lib() -> Optional[ctypes.CDLL]:
@@ -91,10 +106,16 @@ def scatter_blocks(out_zyx: np.ndarray, tiles: np.ndarray,
         return
     Z, Y, X = out_zyx.shape
     for i, (ox, oy, oz) in enumerate(indices):
-        zl, yl, xl = min(t, Z - oz), min(t, Y - oy), min(t, X - ox)
-        if zl <= 0 or yl <= 0 or xl <= 0:
+        # Clip BOTH faces: a negative offset drops the tile's leading
+        # planes; naive low slicing would wrap via Python negative
+        # indexing and write to the far end of the axis (round-5 review).
+        z0, z1 = max(0, -oz), min(t, Z - oz)
+        y0, y1 = max(0, -oy), min(t, Y - oy)
+        x0, x1 = max(0, -ox), min(t, X - ox)
+        if z0 >= z1 or y0 >= y1 or x0 >= x1:
             continue
-        out_zyx[oz:oz + zl, oy:oy + yl, ox:ox + xl] = tiles[i][:zl, :yl, :xl]
+        out_zyx[oz + z0:oz + z1, oy + y0:oy + y1,
+                ox + x0:ox + x1] = tiles[i][z0:z1, y0:y1, x0:x1]
 
 
 def gather_blocks(vol_zyx: np.ndarray,

@@ -34,14 +34,17 @@ void tem_scatter_blocks(uint8_t* out, int64_t Z, int64_t Y, int64_t X,
       const int64_t ox = idx[3 * i + 0];
       const int64_t oy = idx[3 * i + 1];
       const int64_t oz = idx[3 * i + 2];
-      const int64_t zlim = std::min(t, Z - oz);
-      const int64_t ylim = std::min(t, Y - oy);
-      const int64_t xlim = std::min(t, X - ox);
-      if (xlim <= 0 || ylim <= 0 || zlim <= 0) continue;
-      for (int64_t z = 0; z < zlim; ++z) {
-        for (int64_t y = 0; y < ylim; ++y) {
-          std::memcpy(out + ((oz + z) * Y + (oy + y)) * X + ox,
-                      tile + (z * t + y) * t, xlim);
+      // Clip against BOTH faces: negative offsets drop the tile's leading
+      // planes (mirrors tem_gather_blocks' corner handling) — without the
+      // low-face clip a negative index memcpy'd out of bounds.
+      const int64_t z0 = std::max<int64_t>(0, -oz), z1 = std::min(t, Z - oz);
+      const int64_t y0 = std::max<int64_t>(0, -oy), y1 = std::min(t, Y - oy);
+      const int64_t x0 = std::max<int64_t>(0, -ox), x1 = std::min(t, X - ox);
+      if (z0 >= z1 || y0 >= y1 || x0 >= x1) continue;
+      for (int64_t z = z0; z < z1; ++z) {
+        for (int64_t y = y0; y < y1; ++y) {
+          std::memcpy(out + ((oz + z) * Y + (oy + y)) * X + (ox + x0),
+                      tile + (z * t + y) * t + x0, x1 - x0);
         }
       }
     }

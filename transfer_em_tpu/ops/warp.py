@@ -79,9 +79,15 @@ def make_warp_map(seed: int = 0):
 
     def _map(el: jax.Array, index_or_key) -> jax.Array:
         ik = jnp.asarray(index_or_key)
-        if ik.ndim == 0:  # integer stream index
+        # New-style typed PRNG keys (jax.random.key) are ndim-0 scalars —
+        # dtype, not rank, distinguishes a key from an integer stream
+        # index (round-5 review: the rank test alone routed typed keys
+        # into fold_in's integer slot, a TypeError).
+        if jnp.issubdtype(ik.dtype, jax.dtypes.prng_key):
+            k = jax.random.fold_in(ik, seed)      # typed key: mix our seed
+        elif ik.ndim == 0:                        # integer stream index
             k = jax.random.fold_in(base, ik)
-        else:             # pipeline-provided PRNG key: mix in our seed
+        else:             # legacy (2,)-uint32 key: mix in our seed
             k = jax.random.fold_in(index_or_key, seed)
         return warp(el, k)
 

@@ -27,6 +27,15 @@ class NumpyVolume(VolumeBackend):
     def __init__(self, vol_or_path):
         if isinstance(vol_or_path, str):
             vol_or_path = np.load(vol_or_path)
+        # Same uint8-only guard as TensorstoreVolume (and for the same
+        # reason): casting another dtype here would wrap mod-256 / truncate
+        # floats and serve garbled voxels with no error (round-5 review).
+        if np.asarray(vol_or_path).dtype != np.uint8:
+            raise ValueError(
+                f"NumpyVolume requires uint8 (got "
+                f"{np.asarray(vol_or_path).dtype}); the serving byte "
+                "contract is uint8-only (reference cloudrun_functions/"
+                "transferem.py:146-180)")
         self.vol = np.ascontiguousarray(vol_or_path, np.uint8)
 
     def read(self, start, size) -> np.ndarray:
@@ -59,22 +68,11 @@ class TensorstoreVolume(VolumeBackend):
         self._hi = np.asarray(self.ds.domain.exclusive_max[:3], np.int64)
 
     def read(self, start, size) -> np.ndarray:
-        want_lo = np.asarray(start, np.int64)          # xyz
-        want_hi = want_lo + np.asarray(size, np.int64)
-        lo = np.maximum(want_lo, self._lo)
-        hi = np.minimum(want_hi, self._hi)
-        sx, sy, sz = size
-        out = np.zeros((sz, sy, sx), np.uint8)  # zyx
-        if np.all(lo < hi):
-            data = self.ds[lo[0]:hi[0], lo[1]:hi[1],
-                           lo[2]:hi[2]].read(order="F").result()
-            # F-order xyz buffer reinterpreted as C-order zyx (same RAM
-            # contents).
-            sub = np.asarray(data).transpose(2, 1, 0)
-            o = lo - want_lo  # xyz offsets
-            out[o[2]:o[2] + sub.shape[0], o[1]:o[1] + sub.shape[1],
-                o[0]:o[0] + sub.shape[2]] = sub
-        return out
+        # One clamp-and-copy implementation for all tensorstore reads
+        # (data.sources.read_ts_box_zyx) — same single-implementation rule
+        # as NumpyVolume.read / native.gather_box.
+        from ..data.sources import read_ts_box_zyx
+        return read_ts_box_zyx(self.ds, start, size, self._lo, self._hi)
 
 
 _REGISTRY: Dict[str, VolumeBackend] = {}

@@ -56,8 +56,9 @@ def create_prior_helper(model_dir: str, last_layer: str):
     * a reference-architecture Keras asset — ``.h5`` file or SavedModel
       directory — converted via transfer_em_tpu.compat.
 
-    Returns a callable tapping the named submodule's output with
-    stop_gradient — pass it as ``disc_prior``.
+    Returns a callable tapping the named submodule's output with the
+    prior's WEIGHTS frozen (the reference's ``trainable = False``,
+    cgan.py:29) while input gradients flow — pass it as ``disc_prior``.
 
     Args:
       model_dir: model path as above.
@@ -76,8 +77,18 @@ def create_prior_helper(model_dir: str, last_layer: str):
 
 
 def _tap_prior(gen, params, last_layer: str):
-    """stop_gradient'd intermediate tap of a generator (shared by
-    create_prior_helper and compat.prior_from_tf_generator)."""
+    """Weight-frozen intermediate tap of a generator (shared by
+    create_prior_helper and compat.prior_from_tf_generator).
+
+    Freezing semantics match the reference's ``modelx.trainable = False``
+    (cgan.py:29): the prior's WEIGHTS never update (stop_gradient on the
+    params; they are also outside the train step's grad argnums), but the
+    INPUT gradient flows — in the reference, the generator's adversarial
+    loss through disc_y includes the path through the prior branch
+    (discriminator.py:62-70), and TF's trainable=False does not sever it.
+    An output stop_gradient here (shipped until round 5) silently removed
+    that gradient path and made prior-guided training diverge from the
+    reference's dynamics."""
     frozen = jax.tree.map(jax.lax.stop_gradient, params)
 
     def prior(x: jax.Array) -> jax.Array:
@@ -89,7 +100,7 @@ def _tap_prior(gen, params, last_layer: str):
         out = inter[last_layer]["__call__"][0]
         if isinstance(out, tuple):  # DownBlock returns (down, skip)
             out = out[0]
-        return jax.lax.stop_gradient(out)
+        return out
 
     # Exposed so imports can cross-check a checkpoint's own stored frozen
     # prior weights against this prior (compat._check_prior_matches).
@@ -340,9 +351,7 @@ def build_step_fn(config: CycleGANConfig,
 
     def step(state: CycleGANState, real_x, real_y, rng):
         rng = jax.random.fold_in(rng, state.step)
-        grad_fn = jax.grad(
-            lambda gg, gf, dx, dy, x, y, k: loss_fn(gg, gf, dx, dy, x, y, k),
-            argnums=(0, 1, 2, 3), has_aux=True)
+        grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2, 3), has_aux=True)
         if accum == 1:
             grads, loss_vec = grad_fn(state.gg, state.gf, state.dx, state.dy,
                                       real_x, real_y, rng)

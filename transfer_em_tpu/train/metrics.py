@@ -36,14 +36,20 @@ class StepTimer:
 
     def stop(self, items: int = 1) -> float:
         dt = time.perf_counter() - self._t0
-        self.ema = dt if self.ema is None else (
-            self.alpha * dt + (1 - self.alpha) * self.ema)
+        # EMA the per-ITEM time so items_per_sec honors the items= count
+        # (round-5 review: it previously returned intervals/sec, under-
+        # reporting batched callers by the batch size).
+        per_item = dt / max(items, 1)
+        self.ema = per_item if self.ema is None else (
+            self.alpha * per_item + (1 - self.alpha) * self.ema)
         self.count += items
         return dt
 
     @property
     def items_per_sec(self) -> Optional[float]:
-        return None if not self.ema else 1.0 / self.ema
+        if self.ema is None or self.ema <= 0.0:
+            return None
+        return 1.0 / self.ema
 
 
 class MetricsLogger:
