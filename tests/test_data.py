@@ -361,3 +361,24 @@ def test_make_warp_map_accepts_typed_keys():
     c = np.asarray(m(el, jax.random.PRNGKey(7)))
     d = np.asarray(m(el, 5))
     assert c.shape == el.shape and d.shape == el.shape
+
+
+def test_take_batches_consumes_exactly_n():
+    """take_batches(n) must not pull (fetch + device_put + transform) an
+    extra discarded batch — on the axon rig every discarded H2D batch
+    permanently grows host RSS (round-5 review)."""
+    from transfer_em_tpu.data.pipeline import Dataset
+
+    produced = []
+
+    def epoch():
+        i = 0
+        while True:
+            produced.append(i)
+            yield i
+            i += 1
+
+    d = Dataset(lambda: epoch())
+    got = d.take_batches(3)
+    assert got == [0, 1, 2]
+    assert produced == [0, 1, 2]  # not [0, 1, 2, 3]

@@ -685,3 +685,55 @@ def test_cors_preflight_both_services(data_service, exported, tmp_path):
         assert r.headers["Access-Control-Allow-Origin"] == "*"
     finally:
         svc.stop()
+
+
+def test_model_service_hardening(exported, tmp_path):
+    """Round-5 review hardening: path-traversal model names are rejected
+    (os.path.join honors absolute components and '..'), POSTs to non-root
+    paths 404 (the reference routed POST at '/' only), and stop() before
+    start() must not deadlock in socketserver.shutdown()."""
+    import urllib.error
+    import urllib.request
+
+    d, gen, params, meta = exported
+    root = tmp_path / "models_hard"
+    os.makedirs(root / "m1", exist_ok=True)
+    os.symlink(d, root / "m1" / "v1")
+
+    # stop() without start(): returns promptly, closes the socket.
+    svc0 = ModelService(model_root=str(root))
+    svc0.stop()
+
+    svc = ModelService(model_root=str(root))
+    svc.start()
+    try:
+        for bad in ("/tmp/evil:v1", "..:..", "a/b:v1", "m1:..", "", ":",
+                    "m1:v1:extra"):
+            body = json.dumps({
+                "location": "testbucket/vol", "start": [0, 0, 0],
+                "size": [64, 64, 64], "model_name": bad,
+                "dest": str(tmp_path / "out_bad")}).encode()
+            req = urllib.request.Request(svc.url + "/", data=body,
+                                         method="POST")
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req)
+            assert e.value.code == 400, bad
+            assert b"invalid model_name" in e.value.read(), bad
+        with pytest.raises(ValueError, match="invalid model_name"):
+            svc.cache.get("/abs:v1")
+
+        # POST off the root path: 404, never a surprise prediction.
+        req = urllib.request.Request(
+            svc.url + "/volume", data=b"{}", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 404
+    finally:
+        svc.stop()
+
+
+def test_numpy_volume_rejects_non_uint8():
+    with pytest.raises(ValueError, match="uint8"):
+        NumpyVolume(np.zeros((4, 4, 4), np.float32))
+    with pytest.raises(ValueError, match="uint8"):
+        NumpyVolume(np.zeros((4, 4, 4), np.uint16))

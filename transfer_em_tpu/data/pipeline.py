@@ -93,12 +93,12 @@ class Dataset:
         return iter(self._epoch_fn())
 
     def take_batches(self, n: int) -> List[jax.Array]:
-        out = []
-        for i, b in enumerate(self):
-            if i >= n:
-                break
-            out.append(b)
-        return out
+        # islice stops BEFORE pulling element n: the old enumerate/break
+        # form produced (fetched + device_put + transformed) one extra
+        # batch just to discard it — and on this rig every discarded H2D
+        # batch permanently grows host RSS (CLAUDE.md tunnel-client leak).
+        import itertools
+        return list(itertools.islice(self, n))
 
 
 def _device_transform(custom_map, global_adjust, meanstd, enable_augmentation):

@@ -30,9 +30,9 @@ def generate_images(orig, pred, show: bool = True, save_path: str | None = None)
 
     3D (rank-5) input: first z-slice of the first batch element.
     """
-    import matplotlib
-    if not show:
-        matplotlib.use("Agg")
+    # No matplotlib.use("Agg") here: plt.savefig works on ANY backend,
+    # and mutating the process-global backend would silently break every
+    # later interactive plt.show() in the same notebook (round-5 review).
     import matplotlib.pyplot as plt
 
     orig = np.asarray(orig)

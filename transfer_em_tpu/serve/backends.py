@@ -9,6 +9,7 @@ cloud storage.
 
 from __future__ import annotations
 
+import functools as _functools
 from typing import Dict
 
 import numpy as np
@@ -83,9 +84,21 @@ def register_volume(location: str, backend: VolumeBackend) -> None:
     _REGISTRY[location] = backend
 
 
-def open_volume(location: str, scale_index: int = 0) -> VolumeBackend:
-    if location in _REGISTRY:
-        return _REGISTRY[location]
+@_functools.lru_cache(maxsize=16)
+def _open_uncached(location: str, scale_index: int) -> VolumeBackend:
     if location.endswith(".npy"):
         return NumpyVolume(location)
     return TensorstoreVolume(location, scale_index)
+
+
+def open_volume(location: str, scale_index: int = 0) -> VolumeBackend:
+    """Resolve a location to a backend; instances are CACHED by
+    (location, scale_index).  A serving fleet issues thousands of chunk
+    requests against the same volume (the reference's production pattern),
+    and the model service previously paid ts.open's blocking remote
+    metadata fetch per request while models were carefully LRU-cached
+    (round-5 review).  Explicitly registered backends take precedence and
+    are never cached here."""
+    if location in _REGISTRY:
+        return _REGISTRY[location]
+    return _open_uncached(location, scale_index)

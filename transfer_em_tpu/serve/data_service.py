@@ -68,6 +68,10 @@ def _encode_image(data2d: np.ndarray, fmt: str) -> bytes:
 
 def make_handler(slice_cache: LruCache):
     class Handler(BaseHTTPRequestHandler):
+        # Socket timeout: a half-sent body must not pin a handler thread
+        # forever (same hardening as the model service).
+        timeout = 120
+
         def log_message(self, *a):  # quiet
             pass
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import gzip
 import json
 import os
+import re
 import selectors
 import socket
 import threading
@@ -35,6 +36,7 @@ from ..infer.tiling import InferenceCancelled, predict_tiled
 from .backends import open_volume
 
 BLOCK = 64
+_NAME_RE = re.compile(r"[A-Za-z0-9._-]+")
 
 
 def _sock_eof(sock) -> bool:
@@ -237,6 +239,20 @@ class ModelCache:
         coalesce onto one loader via a per-name in-flight Future."""
         import concurrent.futures as cf
 
+        # model_name comes from the HTTP body: validate BEFORE any path
+        # join.  os.path.join discards the root for absolute components and
+        # honors '..' — an unsanitized "/tmp/evil:v1" or "..:..:x" would
+        # load (and serve) an arbitrary directory outside model_root
+        # (round-5 review).  Reference naming is 'name:version'
+        # (model_cloudrun/transferem.py:85-116).
+        name_parts = model_name.split(":")
+        if (not 1 <= len(name_parts) <= 2
+                or any(not _NAME_RE.fullmatch(p) or p in (".", "..")
+                       for p in name_parts)):
+            raise ValueError(
+                f"invalid model_name {model_name!r}: expected 'name' or "
+                "'name:version' with [A-Za-z0-9._-] components")
+
         with self._lock:
             if self._closed:
                 raise RuntimeError("ModelCache is closed")
@@ -255,8 +271,8 @@ class ModelCache:
 
         evicted = evicted_dir = staged = None
         try:
-            # "name:version" -> <root>/name/version/ (reference naming)
-            parts = model_name.split(":")
+            # "name:version" -> <root>/name/version/ (validated above)
+            parts = name_parts
             if self.model_root.startswith("gs://"):
                 path = staged = self._download_gcs_model(parts)
             else:
@@ -345,6 +361,12 @@ class ModelCache:
 def make_handler(cache: ModelCache, mesh=None, limiter: _Limiter = None,
                  request_timeout_s: Optional[float] = None):
     class Handler(BaseHTTPRequestHandler):
+        # Socket timeout: a client that sends Content-Length but never the
+        # body would otherwise pin a handler thread forever, OUTSIDE
+        # admission control (the limiter runs after the read; round-5
+        # review).  Compute time is unaffected (no socket reads there).
+        timeout = 120
+
         def log_message(self, *a):
             pass
 
@@ -384,6 +406,12 @@ def make_handler(cache: ModelCache, mesh=None, limiter: _Limiter = None,
                 self._send(404, b"unknown path")
 
         def do_POST(self):
+            if self.path.rstrip("/") not in ("", "/"):
+                # The reference routes POST at '/' only (model_cloudrun/
+                # transferem.py:35); anything else is 404, not a surprise
+                # prediction under a wrong endpoint.
+                self._send(404, b"unknown path")
+                return
             # Read the (small JSON) body BEFORE any response so the client
             # never sees a reset mid-upload, then apply admission control.
             length = int(self.headers.get("Content-Length", 0))
@@ -547,8 +575,10 @@ class ModelService:
         # daemons and may still be mid-request.  cache.close() waits for
         # the batcher to drain their already-submitted tiles, and any
         # later submit from a straggler degrades to run_direct (tiling.py).
-        self.server.shutdown()
-        if self._thread:
+        # NOTE: socketserver.shutdown() DEADLOCKS unless serve_forever()
+        # is running, so an unstarted service skips straight to cleanup.
+        if self._thread is not None:
+            self.server.shutdown()
             self._thread.join(timeout=5)
         self.server.server_close()  # release the listening socket
         self.cache.close()

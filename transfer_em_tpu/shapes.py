@@ -53,10 +53,10 @@ class GeneratorShapes:
     skip1: int            # skip tap of downsample 2 (32)
     down2: int            # bottleneck (15)
     up1: int              # after upsample 2 (26)
-    crop1: int            # center-crop of skip1 to match up1 (3)
+    crop1: int            # TOTAL size cut cropping skip1 to up1 (6 == 2x3 per face)
     mid: int              # after middle 3x3 conv (24)
     up0: int              # after upsample 1 (44)
-    crop0: int            # center-crop of skip0 to match up0 (13)
+    crop0: int            # TOTAL size cut cropping skip0 to up0 (26 == 2x13 per face)
     head: int             # after head 3x3 conv (42)
     out: int              # final output size (40)
 
