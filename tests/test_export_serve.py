@@ -737,3 +737,38 @@ def test_numpy_volume_rejects_non_uint8():
         NumpyVolume(np.zeros((4, 4, 4), np.float32))
     with pytest.raises(ValueError, match="uint8"):
         NumpyVolume(np.zeros((4, 4, 4), np.uint16))
+
+
+def test_model_cache_lifetime_stats_survive_eviction(tmp_path, monkeypatch):
+    """Under eviction churn /stats' live batcher is young; the lifetime
+    aggregate must keep the evicted batchers' counters (round-5 soak
+    observation: a 1000-request churn run reported a few-batch occupancy
+    snapshot)."""
+    from transfer_em_tpu.serve import model_service as ms
+
+    class FakeBatcher:
+        def __init__(self):
+            self._stats = {"batches": 2, "tiles": 14, "padded": 2,
+                           "largest": 8, "errors": 0}
+
+        def stats(self):
+            return dict(self._stats)
+
+        def close(self, wait=True):
+            pass
+
+    monkeypatch.setattr(ms, "load_generator",
+                        lambda path: (object(), {}, object()))
+    cache = ms.ModelCache(str(tmp_path),
+                          batcher_factory=lambda g, p, m: FakeBatcher(),
+                          capacity=1)
+    cache.get("a:v")
+    cache.get("b:v")  # evicts a:v -> its counters retire
+    s = cache.stats()
+    lt = s["batcher_lifetime"]
+    # retired a:v (14 tiles, 2 pad) + live b:v (14, 2)
+    assert lt["tiles"] == 28 and lt["padded"] == 4
+    assert lt["occupancy"] == 28 / 32
+    cache.get("a:v")  # evicts b:v too
+    assert cache.stats()["batcher_lifetime"]["tiles"] == 42
+    cache.close()

@@ -187,6 +187,10 @@ class ModelCache:
         self._gcs_dir = None  # local staging dir for gs:// model downloads
         self._staging = {}  # name -> this entry's staging dir (gs:// roots)
         self._closed = False
+        # Occupancy/throughput counters of EVICTED models' batchers: under
+        # eviction churn the live batcher is young, so /stats would report
+        # a few-batch snapshot instead of the service's history.
+        self._retired = {"batches": 0, "tiles": 0, "padded": 0, "errors": 0}
 
     def _download_gcs_model(self, parts) -> str:
         """Stage an exported model dir from GCS onto local disk.
@@ -322,6 +326,13 @@ class ModelCache:
             # background, and any in-flight request for the old model whose
             # later submit() raises degrades to batcher.run_direct (see
             # infer/tiling.py) instead of failing or stalling this request.
+            # Snapshot its counters first so /stats keeps the service's
+            # history under churn (the drain tail may add a few more —
+            # observability, not accounting).
+            ev_stats = evicted.stats()
+            with self._lock:
+                for k in self._retired:
+                    self._retired[k] += ev_stats.get(k, 0)
             evicted.close(wait=False)
         if evicted_dir is not None:
             # Reclaim the evicted model's staging dir NOW: under
@@ -347,15 +358,28 @@ class ModelCache:
 
     def stats(self):
         with self._lock:
+            retired = dict(self._retired)
             if not self._entries:
-                return {"model": None}
-            names = list(self._entries)
-            name = names[-1]  # most recently used
-            batcher = self._entries[name][3]
-            s = {"model": name, "models": names}
-            if batcher is not None:
-                s["batcher"] = batcher.stats()
-            return s
+                s = {"model": None}
+                names, batcher = [], None
+            else:
+                names = list(self._entries)
+                name = names[-1]  # most recently used
+                batcher = self._entries[name][3]
+                s = {"model": name, "models": names}
+        if batcher is not None:
+            s["batcher"] = batcher.stats()
+        if any(retired.values()):
+            # Lifetime view including evicted models' batchers: occupancy
+            # over the WHOLE service history, not the young live batcher.
+            total = dict(retired)
+            for k in total:
+                total[k] += s.get("batcher", {}).get(k, 0)
+            tiles, padded = total["tiles"], total["padded"]
+            total["occupancy"] = (tiles / (tiles + padded)
+                                  if tiles + padded else 1.0)
+            s["batcher_lifetime"] = total
+        return s
 
 
 def make_handler(cache: ModelCache, mesh=None, limiter: _Limiter = None,
