@@ -96,9 +96,10 @@ class TileBatcher:
                           if meanstd_y is not None else None)
         # The params the step bakes in, when known: geometry + meanstd alone
         # cannot catch a wrong-MODEL batcher (two meanstd-less models with
-        # the same plan) — predict_tiled checks object identity against the
-        # caller's params.  Same object the step closure already holds, so
-        # this retains nothing extra.
+        # the same plan) — predict_tiled checks the caller's params against
+        # these (object identity fast path, then the structural fingerprint
+        # in tiling._params_equivalent).  Same object the step closure
+        # already holds, so this retains nothing extra.
         self.params = params
         self.max_batch = int(max_batch)
         self._linger = float(linger_ms) / 1000.0
